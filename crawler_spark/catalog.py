@@ -1,0 +1,123 @@
+"""Snapshot-versioned table catalog.
+
+Production target is Iceberg (``writeTo(...).append()`` / MERGE INTO /
+snapshot time travel); this sandbox has no Iceberg runtime jar, so the
+same API is provided by a parquet-directory shim with a JSON manifest per
+table.  Every call site goes through :class:`Catalog`, so swapping in an
+Iceberg catalog is a one-module change (SURVEY.md §7 M0 / hard part 6).
+
+Shim layout::
+
+    warehouse/
+      <table>/
+        _manifest.json          # ordered commit log: [{id, mode, dir, rows}]
+        snap-000001/part-*.parquet
+        snap-000002/...
+
+Semantics:
+
+- ``append``     adds a snapshot; live data = all live snapshots
+- ``overwrite``  adds a snapshot that resets the live set to just itself
+- ``read(snapshot_id=k)`` time-travel: live set as of commit k
+- commits are atomic via write-temp + ``os.replace`` of the manifest
+
+At 10^10-URL scale the frontier table would be Iceberg-partitioned by
+``bucket(host)`` with metadata-level pruning on (round, status); the shim
+keeps whole-table snapshots, which is fine at test scale and keeps the
+engine code identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ----------------------------------------------------------- manifest
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_manifest.json")
+
+    def _load_manifest(self, table: str) -> list[dict]:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, manifest: list[dict]) -> None:
+        path = self._manifest_path(table)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    # ----------------------------------------------------------- api
+    def exists(self, table: str) -> bool:
+        return bool(self._load_manifest(table))
+
+    def snapshots(self, table: str) -> list[dict]:
+        return self._load_manifest(table)
+
+    def current_snapshot_id(self, table: str) -> int:
+        m = self._load_manifest(table)
+        return m[-1]["id"] if m else 0
+
+    def write(self, df: DataFrame, table: str, mode: str = "append") -> int:
+        """Commit ``df`` as a new snapshot; returns the snapshot id."""
+        assert mode in ("append", "overwrite"), mode
+        manifest = self._load_manifest(table)
+        snap_id = (manifest[-1]["id"] + 1) if manifest else 1
+        rel = f"snap-{snap_id:06d}"
+        out_dir = os.path.join(self._table_dir(table), rel)
+        df.write.mode("overwrite").parquet(out_dir)
+        rows = None  # avoid an extra count job; lineage counts separately
+        manifest.append({"id": snap_id, "mode": mode, "dir": rel, "rows": rows})
+        self._commit(table, manifest)
+        return snap_id
+
+    def _live_dirs(self, table: str, snapshot_id: int | None = None) -> list[str]:
+        manifest = self._load_manifest(table)
+        if snapshot_id is not None:
+            manifest = [m for m in manifest if m["id"] <= snapshot_id]
+        live: list[str] = []
+        for m in manifest:
+            if m["mode"] == "overwrite":
+                live = []
+            live.append(os.path.join(self._table_dir(table), m["dir"]))
+        return live
+
+    def read(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        dirs = self._live_dirs(table, snapshot_id)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshots")
+        return spark.read.parquet(*dirs)
+
+    def read_or_empty(
+        self, spark: SparkSession, table: str, schema, snapshot_id: int | None = None
+    ) -> DataFrame:
+        try:
+            return self.read(spark, table, snapshot_id)
+        except FileNotFoundError:
+            return spark.createDataFrame([], schema)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._table_dir(table), ignore_errors=True)
+
+    def rollback(self, table: str, snapshot_id: int) -> None:
+        """Discard commits newer than ``snapshot_id`` (resume-after-crash)."""
+        manifest = [m for m in self._load_manifest(table) if m["id"] <= snapshot_id]
+        self._commit(table, manifest)

@@ -1,0 +1,381 @@
+"""The round driver: one scheduling round == one DataFrame job.
+
+Reference dataflow being reproduced (SURVEY.md §3.1, engine/crawler.go):
+
+    pull -> depth check -> visited check -> fetch -> ban/short filters
+         -> rule.ParseFunc -> push new requests / emit items -> store
+
+Spark translation per round (all declarative, Catalyst-optimized):
+
+    pending --depth filter--> --bloom+anti-join seen--> --in-round dedup-->
+    --robots--> --per-host budget rank--> scheduled
+    scheduled --inner-join pages (broadcast build side)--> hits; misses by
+    anti-join; ban/short routed per reference semantics; per-(task,rule)
+    SQL parse kernels -> items to results, links to frontier children;
+    retries re-queued once (crawler.go:179-194); contiguous seq ids
+    assigned to the discovery delta; frontier_pending overwritten; state
+    checkpointed last (atomic) so any round is resumable.
+
+Seen-set timing: the reference marks visited *before* fetch and un-marks
+on failure (crawler.go:92,180-185).  With synchronous rounds, marking
+*after* the outcome is equivalent (failed rows were never observable as
+seen between rounds) and is what makes retry idempotent here.
+
+Fetch-join strategy: ``pages JOIN broadcast(scheduled)`` — build side is
+the (budget-bounded, small) scheduled set, so the huge corpus is only
+*streamed*, never shuffled; misses recovered by a cheap broadcast
+anti-join against the hit keys.  At 100 TB the pages table would
+additionally be bucketed by url_norm / carry Iceberg bloom skip indexes
+so the scan prunes files; the join shape stays identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import corpus as corpus_mod
+from .catalog import Catalog
+from .frontier import (
+    FRONTIER_COLS,
+    assign_seq,
+    children_from_links,
+    seed_frontier,
+    with_url_identity,
+)
+from .parsers import apply_rule_sql
+from .politeness import apply_robots, rank_by_budget
+from .rules import FieldsRule, LinkRule, MatchRule, Task
+from .schemas import (
+    FAILURES_SCHEMA,
+    FRONTIER_SCHEMA,
+    LINEAGE_SCHEMA,
+    METRICS_SCHEMA,
+    RESULTS_SCHEMA,
+    SEEN_SCHEMA,
+)
+from .seen import dedup_candidates
+
+TABLES = [
+    "frontier_pending", "seen", "results", "failures",
+    "metrics", "lineage", "schedule_log",
+]
+
+
+@dataclass
+class CrawlConfig:
+    tasks: dict[str, Task]
+    pages_path: str
+    robots_path: str | None = None
+    round_seconds: float = 30.0
+    min_body_bytes: int = corpus_mod.MIN_BODY_BYTES
+    ban_marker: str = corpus_mod.BAN_MARKER
+    max_attempts: int = 2  # 1 re-push then park (crawler.go:188-192)
+    salt_buckets: int = 1
+    use_bloom: bool = True
+    bloom_fpp: float = 0.01
+    max_rounds: int = 64
+    collect_metrics: bool = True
+
+
+# ------------------------------------------------------------------ state
+def _state_path(cat: Catalog) -> str:
+    return os.path.join(cat.warehouse, "_crawl_state.json")
+
+
+def load_state(cat: Catalog) -> dict | None:
+    p = _state_path(cat)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def save_state(cat: Catalog, state: dict) -> None:
+    p = _state_path(cat)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, p)
+
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Corpus -> fetchable form keyed by canonical URL.
+
+    ``body`` is the UTF-8 decode of html (P11; the synthetic corpus is
+    already UTF-8 — a charset-sniffing pandas UDF slots in here for raw
+    WARC bytes), ``body_bytes`` the raw length for the reference's
+    len(body)<6000 gate (crawler.go:113)."""
+    from .urlnorm import canon_col
+
+    return pages.select(
+        F.col("url").alias("page_url"),
+        F.decode(F.col("html"), "UTF-8").alias("body"),
+        F.length(F.col("html")).alias("body_bytes"),
+        F.col("text").alias("golden_text"),
+    ).withColumn("url_norm", canon_col(F.col("page_url")))
+
+
+def _max_depth_col(tasks: dict[str, Task]) -> F.Column:
+    kv = []
+    for name, t in tasks.items():
+        kv += [F.lit(name), F.lit(t.max_depth)]
+    return F.element_at(F.create_map(*kv), F.col("task_name"))
+
+
+def bootstrap(spark: SparkSession, cat: Catalog, cfg: CrawlConfig) -> dict:
+    seeds = seed_frontier(spark, cfg.tasks)
+    n = seeds.count()
+    snap = cat.write(seeds, "frontier_pending", mode="overwrite")
+    state = {
+        "round": 0,
+        "max_seq": n - 1,
+        "seen_count": 0,
+        "finished": False,
+        "snapshots": {"frontier_pending": snap},
+    }
+    save_state(cat, state)
+    return state
+
+
+def resume(cat: Catalog) -> dict:
+    """Roll every table back to the last committed round's snapshots."""
+    state = load_state(cat)
+    if state is None:
+        raise FileNotFoundError("no crawl state to resume from")
+    for table, snap_id in state["snapshots"].items():
+        cat.rollback(table, snap_id)
+    for table in TABLES:
+        if table not in state["snapshots"] and cat.exists(table):
+            cat.drop(table)
+    return state
+
+
+def run_round(
+    spark: SparkSession,
+    cat: Catalog,
+    cfg: CrawlConfig,
+    state: dict,
+    pages_prepared: DataFrame,
+    robots_df: DataFrame | None,
+) -> dict:
+    round_no = state["round"] + 1
+    t0 = time.time()
+    metrics: dict[str, float] = {}
+
+    pending = cat.read(spark, "frontier_pending")
+    seen_df = cat.read_or_empty(spark, "seen", SEEN_SCHEMA)
+
+    # F3 depth cutoff (deterministic -> dropping at schedule == at pull)
+    cand = pending.where(F.col("depth") <= _max_depth_col(cfg.tasks))
+    # F4 seen dedup: bloom pre-filter + exact anti-join
+    cand = dedup_candidates(
+        cand, seen_df, state["seen_count"], use_bloom=cfg.use_bloom, fpp=cfg.bloom_fpp
+    )
+    # in-round duplicate URLs: keep the schedulable-first copy, drop the
+    # rest (reference: duplicate skipped at pull once first copy marked
+    # visited, crawler.go:85-90)
+    wdup = Window.partitionBy("url_hash").orderBy(
+        F.col("priority").desc(), F.col("seq").asc()
+    )
+    cand = (
+        cand.withColumn("_dup", F.row_number().over(wdup))
+        .where(F.col("_dup") == 1)
+        .drop("_dup")
+    )
+    # F5 politeness: robots + per-(task,host) round budget, skew-salted
+    cand = apply_robots(cand, robots_df, cfg.round_seconds).persist()
+    scheduled, deferred = rank_by_budget(
+        cand, cfg.tasks, cfg.round_seconds, cfg.salt_buckets
+    )
+    scheduled = scheduled.select(*FRONTIER_COLS).persist()
+    deferred = deferred.select(*FRONTIER_COLS)
+
+    # S5 fetch = stream the corpus past a broadcast hash of scheduled
+    hits = pages_prepared.join(
+        F.broadcast(scheduled), on="url_norm", how="inner"
+    ).persist()
+    misses = scheduled.join(
+        F.broadcast(hits.select("url_norm")), on="url_norm", how="left_anti"
+    )
+    banned = hits.where(F.col("body").contains(cfg.ban_marker))  # F8
+    ok_or_short = hits.where(~F.col("body").contains(cfg.ban_marker))
+    short = ok_or_short.where(F.col("body_bytes") < cfg.min_body_bytes)  # F9
+    ok = ok_or_short.where(F.col("body_bytes") >= cfg.min_body_bytes).persist()
+
+    # ---- parse per (task, rule) branch: pure SQL kernels, JVM-side
+    link_children: list[DataFrame] = []
+    item_parts: list[DataFrame] = []
+    for tname in sorted(cfg.tasks):
+        task = cfg.tasks[tname]
+        for rname in sorted(task.rules):
+            rule = task.rules[rname]
+            branch = ok.where(
+                (F.col("task_name") == tname) & (F.col("rule_name") == rname)
+            )
+            parsed = apply_rule_sql(branch, rule, body_col="body")
+            if isinstance(rule, LinkRule):
+                link_children.append(
+                    children_from_links(parsed, rule, task, round_no)
+                )
+            if isinstance(rule, (MatchRule, FieldsRule)):
+                item_parts.append(
+                    parsed.where(F.col("emit")).select(
+                        F.col("task_name").alias("task"),
+                        F.col("rule_name").alias("rule"),
+                        F.col("url"),
+                        F.current_timestamp().alias("ts"),
+                        F.coalesce(
+                            F.col("data"), F.lit(None).cast("map<string,string>")
+                        ).alias("data"),
+                        F.lit(round_no).alias("round"),
+                    )
+                )
+
+    items = None
+    for p in item_parts:
+        items = p if items is None else items.unionByName(p)
+
+    children = None
+    for c in link_children:
+        children = c if children is None else children.unionByName(c)
+
+    # ---- failures: fetch miss or ban -> retry once, then park (F7)
+    failed = misses.unionByName(banned.select(*FRONTIER_COLS))
+    retries = (
+        failed.where(F.col("attempts") + 1 < cfg.max_attempts)
+        .withColumn("attempts", F.col("attempts") + 1)
+        .withColumn("parent_seq", F.col("seq"))
+        .withColumn("link_pos", F.lit(0))
+        .withColumn("round", F.lit(round_no))
+    )
+    parked = (
+        failed.where(F.col("attempts") + 1 >= cfg.max_attempts)
+        .select(
+            "url_hash", "url",
+            F.lit(round_no).alias("round"),
+            F.lit("fetch_failed").alias("reason"),
+            (F.col("attempts") + 1).alias("attempts"),
+        )
+    )
+
+    # ---- seq assignment for the discovery delta (children then retries:
+    # the deterministic-core contract, SURVEY.md §7 hard part 1)
+    noseq = [c for c in FRONTIER_COLS if c != "seq"]
+    r2 = retries.select(*noseq).withColumn("_retry", F.lit(1))
+    if children is not None:
+        new_rows = (
+            children.select(*noseq).withColumn("_retry", F.lit(0)).unionByName(r2)
+        )
+    else:
+        new_rows = r2
+    new_rows, n_new = assign_seq(
+        new_rows, ["_retry", "parent_seq", "link_pos"], start_seq=state["max_seq"] + 1
+    )
+    new_rows = new_rows.select(*FRONTIER_COLS).persist()
+
+    # ---- commit outputs (state last = the checkpoint barrier)
+    snaps = dict(state["snapshots"])
+    seen_delta = (
+        ok.select("url_hash", "url_norm").unionByName(
+            short.select("url_hash", "url_norm")
+        ).withColumn("round", F.lit(round_no))
+    )
+    n_seen_delta = seen_delta.count()
+    if n_seen_delta:
+        snaps["seen"] = cat.write(seen_delta, "seen")
+    if items is not None:
+        n_items = items.count()
+        if n_items:
+            snaps["results"] = cat.write(items, "results")
+    else:
+        n_items = 0
+    n_parked = parked.count()
+    if n_parked:
+        snaps["failures"] = cat.write(parked, "failures")
+
+    # crawl-order artifact: the scheduled set per round under the
+    # determinism contract (priority DESC, seq ASC) — the object compared
+    # against the reference-oracle ordering in the equivalence tests
+    snaps["schedule_log"] = cat.write(
+        scheduled.select(
+            F.lit(round_no).alias("round"), "seq", "priority", "url_norm", "url_hash"
+        ),
+        "schedule_log",
+    )
+
+    next_pending = deferred.unionByName(new_rows)
+    snaps["frontier_pending"] = cat.write(
+        next_pending, "frontier_pending", mode="overwrite"
+    )
+    n_pending = cat.read(spark, "frontier_pending").count()
+
+    n_scheduled = scheduled.count()
+    wall = time.time() - t0
+    if cfg.collect_metrics:
+        n_ok = ok.count()
+        mrows = [
+            (round_no, "schedule", "scheduled", float(n_scheduled)),
+            (round_no, "fetch", "ok", float(n_ok)),
+            (round_no, "fetch", "seen_delta", float(n_seen_delta)),
+            (round_no, "fetch", "parked", float(n_parked)),
+            (round_no, "parse", "items", float(n_items)),
+            (round_no, "frontier", "new_rows", float(n_new)),
+            (round_no, "frontier", "pending_next", float(n_pending)),
+            (round_no, "round", "wall_seconds", wall),
+        ]
+        snaps["metrics"] = cat.write(
+            spark.createDataFrame(mrows, METRICS_SCHEMA), "metrics"
+        )
+        lrows = [
+            (round_no, "commit", t, int(sid), -1) for t, sid in snaps.items()
+        ]
+        snaps["lineage"] = cat.write(
+            spark.createDataFrame(lrows, LINEAGE_SCHEMA), "lineage"
+        )
+
+    for df in (cand, scheduled, hits, ok, new_rows):
+        df.unpersist()
+
+    new_state = {
+        "round": round_no,
+        "max_seq": state["max_seq"] + n_new,
+        "seen_count": state["seen_count"] + n_seen_delta,
+        "finished": n_pending == 0,
+        "snapshots": snaps,
+        "last_round": {
+            "scheduled": n_scheduled,
+            "seen_delta": n_seen_delta,
+            "items": n_items,
+            "new_rows": n_new,
+            "pending_next": n_pending,
+            "wall_seconds": wall,
+        },
+    }
+    save_state(cat, new_state)
+    return new_state
+
+
+def run_crawl(
+    spark: SparkSession,
+    cat: Catalog,
+    cfg: CrawlConfig,
+    do_resume: bool = False,
+) -> dict:
+    if do_resume:
+        state = resume(cat)
+    else:
+        state = bootstrap(spark, cat, cfg)
+    pages_prepared = prepare_pages(spark.read.parquet(cfg.pages_path)).persist()
+    robots_df = (
+        spark.read.parquet(cfg.robots_path) if cfg.robots_path else None
+    )
+    while not state["finished"] and state["round"] < cfg.max_rounds:
+        state = run_round(spark, cat, cfg, state, pages_prepared, robots_df)
+    pages_prepared.unpersist()
+    return state

@@ -1,0 +1,212 @@
+"""URL-seen membership: bloom pre-filter + exact anti-join (F4).
+
+The reference's seen set is an exact in-memory ``map[string]bool`` keyed
+md5(url+method) behind a mutex (/root/reference/engine/crawler.go:16-17,
+163-177).  At 10^10 URLs the exact set must live in a table, and probing
+it every round is a join against a huge build side — so a **bloom filter
+pre-filter** splits candidates into "definitely new" (skip the join) and
+"maybe seen" (exact anti-join confirms).  Bloom false positives therefore
+cost a join probe, never a dropped URL (SURVEY.md §7 hard part 2).
+
+Scale notes:
+- the bloom is built *distributed* (per-partition numpy bitmaps OR-merged
+  on the driver) and broadcast; at 10^10 keys a single filter would be
+  ~10 GB, so production shards the filter by Iceberg host-bucket and
+  each executor loads only its buckets' shards.  The build/probe API here
+  is shard-ready (``build_bloom(df, ...)`` takes any pre-filtered slice).
+- the cuckoo fallback supports *deletion*, matching the reference's
+  un-visit on fetch failure (crawler.go:180-185) for deployments that
+  maintain one incremental filter instead of rebuilding per round.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd constant -> second hash stream
+
+
+class Bloom:
+    """Vectorized bloom filter over int64 keys (numpy bit array)."""
+
+    def __init__(self, m_bits: int, k: int, bits: np.ndarray | None = None):
+        self.m_bits = m_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+
+    @staticmethod
+    def sized(n_items: int, fpp: float = 0.01) -> "Bloom":
+        n = max(n_items, 1)
+        m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / n * math.log(2)))
+        return Bloom(m, k)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        h1 = keys.astype(np.uint64)
+        h2 = (h1 * _MIX) | np.uint64(1)
+        idx = np.empty((self.k, len(keys)), dtype=np.uint64)
+        for i in range(self.k):
+            idx[i] = (h1 + np.uint64(i) * h2) % np.uint64(self.m_bits)
+        return idx
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        out = np.ones(len(keys), dtype=bool)
+        for i in range(self.k):
+            p = pos[i]
+            out &= (self.bits[(p >> 3).astype(np.int64)] >> (p & 7).astype(np.uint8)) & 1 == 1
+        return out
+
+    def merge(self, other: "Bloom") -> None:
+        assert (self.m_bits, self.k) == (other.m_bits, other.k)
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+
+
+def build_bloom(df: DataFrame, key_col: str, n_items: int, fpp: float = 0.01) -> Bloom:
+    """Distributed build: one partial bitmap per partition, OR-merge."""
+    proto = Bloom.sized(n_items, fpp)
+    m_bits, k = proto.m_bits, proto.k
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b = Bloom(m_bits, k)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                b.add(pdf[key_col].to_numpy(dtype=np.int64))
+        if any_rows:
+            yield pd.DataFrame({"bits": [b.bits.tobytes()]})
+
+    parts = df.select(key_col).mapInPandas(partial, schema="bits binary").collect()
+    out = Bloom(m_bits, k)
+    for row in parts:
+        out.merge(Bloom(m_bits, k, np.frombuffer(row.bits, dtype=np.uint8).copy()))
+    return out
+
+
+def split_by_bloom(
+    candidates: DataFrame, bloom: Bloom, key_col: str = "url_hash"
+) -> tuple[DataFrame, DataFrame]:
+    """-> (definitely_new, maybe_seen).  Probe is an Arrow-batched pandas
+    UDF over the broadcast bitmap; exactness restored downstream by the
+    anti-join on maybe_seen only."""
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.m_bits, bloom.k, bloom.bits))
+
+    @F.pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        m, k, bits = bc.value
+        b = Bloom(m, k, bits)
+        return pd.Series(b.contains(keys.to_numpy(dtype=np.int64)))
+
+    flagged = candidates.withColumn("_maybe", might_contain(F.col(key_col)))
+    return (
+        flagged.where(~F.col("_maybe")).drop("_maybe"),
+        flagged.where(F.col("_maybe")).drop("_maybe"),
+    )
+
+
+def dedup_candidates(
+    candidates: DataFrame,
+    seen_df: DataFrame,
+    seen_count: int,
+    use_bloom: bool = True,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact F4 semantics: candidates minus seen (left anti on url_hash),
+    with the bloom fast path when the seen set is non-trivial."""
+    if seen_count == 0:
+        return candidates
+    if not use_bloom or seen_count < 1024:
+        return candidates.join(
+            seen_df.select("url_hash"), on="url_hash", how="left_anti"
+        )
+    bloom = build_bloom(seen_df, "url_hash", n_items=seen_count, fpp=fpp)
+    fresh, maybe = split_by_bloom(candidates, bloom)
+    confirmed = maybe.join(seen_df.select("url_hash"), on="url_hash", how="left_anti")
+    return fresh.unionByName(confirmed)
+
+
+# ---------------------------------------------------------------- cuckoo
+class Cuckoo:
+    """Partition-local cuckoo filter (4-slot buckets, 16-bit fingerprints)
+    with deletion — the incremental-seen-set fallback (north_rule).  Used
+    when one long-lived filter must also *forget* failed fetches the way
+    the reference un-visits them (crawler.go:180-185)."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int):
+        self.n = 1 << max(4, (n_buckets - 1).bit_length())  # power of two
+        self.table = np.zeros((self.n, 4), dtype=np.uint16)
+        self._rng_state = 0x2545F4914F6CDD1D
+
+    @staticmethod
+    def sized(n_items: int) -> "Cuckoo":
+        return Cuckoo(max(16, int(n_items / 4 / 0.84) + 1))
+
+    def _fp(self, key: int) -> int:
+        fp = (key ^ (key >> 17)) & 0xFFFF
+        return fp if fp != 0 else 1
+
+    def _i1(self, key: int) -> int:
+        return (key >> 16) & (self.n - 1)
+
+    def _i2(self, i1: int, fp: int) -> int:
+        return (i1 ^ (fp * 0x5BD1E995)) & (self.n - 1)
+
+    def _next_rand(self) -> int:
+        self._rng_state = (self._rng_state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return self._rng_state >> 33
+
+    def add(self, key: int) -> bool:
+        fp = self._fp(key)
+        i1 = self._i1(key)
+        i2 = self._i2(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        i = i1 if self._next_rand() & 1 else i2
+        for _ in range(self.MAX_KICKS):
+            slot = self._next_rand() & 3
+            fp, self.table[i][slot] = int(self.table[i][slot]), fp
+            i = self._i2(i, fp)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False  # table full; caller should resize
+
+    def contains(self, key: int) -> bool:
+        fp = self._fp(key)
+        i1 = self._i1(key)
+        i2 = self._i2(i1, fp)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, key: int) -> bool:
+        fp = self._fp(key)
+        i1 = self._i1(key)
+        for i in (i1, self._i2(i1, fp)):
+            hit = np.flatnonzero(self.table[i] == fp)
+            if len(hit):
+                self.table[i][hit[0]] = 0
+                return True
+        return False
