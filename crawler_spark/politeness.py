@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 
 from .rules import Task
 
-SCHED_ORDER = [F.col("priority").desc(), F.col("seq").asc()]
+def sched_order() -> list:
+    """The determinism contract: priority DESC, discovery seq ASC."""
+    return [F.col("priority").desc(), F.col("seq").asc()]
 
 
 def base_budget(task: Task, round_seconds: float) -> int:
@@ -103,7 +105,7 @@ def rank_by_budget(
     deferred_parts: list[DataFrame] = []
     if salt_buckets > 1:
         df = df.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)))
-        w1 = Window.partitionBy("task_name", "host", "_salt").orderBy(*SCHED_ORDER)
+        w1 = Window.partitionBy("task_name", "host", "_salt").orderBy(*sched_order())
         df = df.withColumn("_rn1", F.row_number().over(w1))
         deferred_parts.append(
             df.where(F.col("_rn1") > F.col("_budget")).drop("_rn1", "_salt", "_budget")
@@ -111,7 +113,7 @@ def rank_by_budget(
         # phase 1 keeps <= salt_buckets x budget rows per host (parallel
         # across salts); phase 2 is exact on that small survivor set
         df = df.where(F.col("_rn1") <= F.col("_budget")).drop("_rn1", "_salt")
-    w2 = Window.partitionBy("task_name", "host").orderBy(*SCHED_ORDER)
+    w2 = Window.partitionBy("task_name", "host").orderBy(*sched_order())
     df = df.withColumn("_rn", F.row_number().over(w2))
     scheduled = df.where(F.col("_rn") <= F.col("_budget")).drop("_rn", "_budget")
     deferred_parts.append(df.where(F.col("_rn") > F.col("_budget")).drop("_rn", "_budget"))
