@@ -200,15 +200,15 @@ def generate_pages(
         dead_anchor,
         F.lit("</table></html>"),
     )
+    # golden = bare URLs: ParseGroupUrl captures the anchor text too but
+    # discards it (douban_group.go:47-57 uses only m[1])
     group_golden = F.concat_ws(
         "\n",
         *[
-            F.format_string(
-                "%s/topic/t%d/|主题 %d 讨论", _base(F.col("h")), topic_id(j), topic_id(j)
-            )
+            F.format_string("%s/topic/t%d/", _base(F.col("h")), topic_id(j))
             for j in range(TOPICS_PER_GROUP)
         ],
-        F.format_string("%s/topic/zz%d/|dead link %d", _base(F.col("h")), F.col("g"), F.col("g")),
+        F.format_string("%s/topic/zz%d/", _base(F.col("h")), F.col("g")),
     )
     group = groups.select(
         F.format_string("https://host%03d.example.test/group/%d", F.col("h"), F.col("g")).alias("url"),

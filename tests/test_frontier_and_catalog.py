@@ -1,0 +1,93 @@
+"""Unit: contiguous seq assignment, catalog snapshots, politeness rank."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.catalog import Catalog
+from crawler_spark.frontier import assign_seq
+from crawler_spark.politeness import apply_robots, rank_by_budget
+from crawler_spark.rules import synthetic_tasks
+
+
+def test_assign_seq_contiguous_and_ordered(spark):
+    rows = [(i % 7, i, f"u{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "parent_seq long, link_pos int, url string")
+    out, n = assign_seq(df, ["parent_seq", "link_pos"], start_seq=1000)
+    assert n == 500
+    got = out.orderBy("seq").collect()
+    assert [r.seq for r in got] == list(range(1000, 1500))
+    # seq order == (parent_seq, link_pos) order
+    keys = [(r.parent_seq, r.link_pos) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_assign_seq_deterministic_across_parallelism(spark):
+    rows = [(i * 37 % 1000, i, f"u{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "parent_seq long, link_pos int, url string")
+    a, _ = assign_seq(df.repartition(3), ["parent_seq", "link_pos"], 0, num_partitions=2)
+    b, _ = assign_seq(df.repartition(11), ["parent_seq", "link_pos"], 0, num_partitions=7)
+    am = {(r.parent_seq, r.link_pos): r.seq for r in a.collect()}
+    bm = {(r.parent_seq, r.link_pos): r.seq for r in b.collect()}
+    assert am == bm
+
+
+def test_catalog_snapshots_and_rollback(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"))
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "x")
+    s1 = cat.write(df1, "t")
+    s2 = cat.write(df2, "t")
+    assert cat.read(spark, "t").count() == 8
+    assert cat.read(spark, "t", snapshot_id=s1).count() == 5
+    s3 = cat.write(df2, "t", mode="overwrite")
+    assert cat.read(spark, "t").count() == 3
+    cat.rollback("t", s2)
+    assert cat.read(spark, "t").count() == 8
+    assert cat.current_snapshot_id("t") == s2 and s3 == s2 + 1
+
+
+def test_rank_by_budget_salted_equals_plain(spark):
+    """Two-phase salted rank must pick exactly the same set as the plain
+    per-host window (the over-admit proof in politeness.py)."""
+    tasks = synthetic_tasks()
+    rows = [
+        (f"https://h{i%5}/x{i}", f"h{i%5}", "book_list", i % 3, i, 1234567 + i * 9176)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "url_norm string, host string, task_name string, priority int, seq long, url_hash long"
+    )
+    df = apply_robots(df, None, round_seconds=30.0)
+    plain_sched, plain_def = rank_by_budget(df, tasks, 30.0, salt_buckets=1)
+    salt_sched, salt_def = rank_by_budget(df, tasks, 30.0, salt_buckets=4)
+    a = {r.url_norm for r in plain_sched.collect()}
+    b = {r.url_norm for r in salt_sched.collect()}
+    assert a == b
+    assert {r.url_norm for r in plain_def.collect()} == {
+        r.url_norm for r in salt_def.collect()
+    }
+    # budget respected: floor(1/3 * 30) = 10 per (task, host)
+    counts = salt_sched.groupBy("task_name", "host").count().collect()
+    assert all(r["count"] <= 10 for r in counts)
+
+
+def test_robots_disallow_and_delay(spark):
+    tasks = synthetic_tasks()
+    cand = spark.createDataFrame(
+        [
+            ("https://a/x/1", "a", "book_list", 0, 1, 11),
+            ("https://a/private/2", "a", "book_list", 0, 2, 22),
+            ("https://b/x/3", "b", "book_list", 0, 3, 33),
+        ],
+        "url_norm string, host string, task_name string, priority int, seq long, url_hash long",
+    )
+    robots = spark.createDataFrame(
+        [("a", 15.0, ["/private/"], None), ("b", None, None, None)],
+        "host string, crawl_delay_s double, disallow_prefixes array<string>, fetched_ts timestamp",
+    )
+    out = apply_robots(cand, robots, round_seconds=30.0)
+    rows = {r.url_norm: r.robots_budget for r in out.collect()}
+    assert "https://a/private/2" not in rows  # disallowed
+    assert rows["https://a/x/1"] == 2  # floor(30/15)
+    assert rows["https://b/x/3"] is None  # uncapped

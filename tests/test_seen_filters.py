@@ -1,0 +1,71 @@
+"""Bloom/cuckoo membership structures + dedup exactness (F4)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crawler_spark.seen import Bloom, Cuckoo, build_bloom, dedup_candidates, split_by_bloom
+
+I64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(I64, min_size=0, max_size=200), st.lists(I64, min_size=0, max_size=50))
+def test_bloom_no_false_negatives(members, probes):
+    b = Bloom.sized(len(members) or 1, fpp=0.01)
+    b.add(np.array(members, dtype=np.int64))
+    got = b.contains(np.array(members, dtype=np.int64))
+    assert got.all()  # no false negatives ever
+
+
+def test_bloom_fpp_reasonable():
+    rng = np.random.default_rng(42)
+    members = rng.integers(-(1 << 62), 1 << 62, size=20_000, dtype=np.int64)
+    others = rng.integers(-(1 << 62), 1 << 62, size=20_000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    b = Bloom.sized(len(members), fpp=0.01)
+    b.add(members)
+    fp = b.contains(others).mean()
+    assert fp < 0.03, fp
+
+
+def test_distributed_bloom_build_and_split(spark):
+    seen_keys = list(range(0, 2000, 2))
+    cand_keys = list(range(0, 3000, 3))
+    seen_df = spark.createDataFrame([(k,) for k in seen_keys], "url_hash long")
+    cand_df = spark.createDataFrame([(k,) for k in cand_keys], "url_hash long")
+    bloom = build_bloom(seen_df, "url_hash", n_items=len(seen_keys))
+    fresh, maybe = split_by_bloom(cand_df, bloom)
+    fresh_keys = {r.url_hash for r in fresh.collect()}
+    # nothing actually seen may land in "definitely new"
+    assert not (fresh_keys & set(seen_keys))
+    # union is a partition of candidates
+    maybe_keys = {r.url_hash for r in maybe.collect()}
+    assert fresh_keys | maybe_keys == set(cand_keys)
+    assert not (fresh_keys & maybe_keys)
+
+
+def test_dedup_candidates_exact(spark):
+    seen_df = spark.createDataFrame([(k,) for k in range(0, 100, 2)], "url_hash long")
+    cand = spark.createDataFrame([(k, f"u{k}") for k in range(100)], "url_hash long, url string")
+    for use_bloom in (False, True):
+        out = dedup_candidates(cand, seen_df, seen_count=50, use_bloom=use_bloom)
+        keys = sorted(r.url_hash for r in out.collect())
+        assert keys == list(range(1, 100, 2)), use_bloom
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(I64, min_size=1, max_size=300))
+def test_cuckoo_membership_and_delete(keys):
+    keys = list(keys)
+    c = Cuckoo.sized(len(keys) * 2)
+    ok = [c.add(k) for k in keys]
+    assert all(ok)
+    assert all(c.contains(k) for k in keys)
+    # delete half, they must disappear (no false negatives on the rest)
+    for k in keys[::2]:
+        assert c.delete(k)
+    assert all(c.contains(k) for k in keys[1::2])
