@@ -1,0 +1,230 @@
+"""Deduplication suite: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design notes (100 TB scale):
+
+- **exact**: groupBy(md5(normalized text)) keep min id.  One shuffle on
+  the fingerprint; map-side partial aggregation applies.
+- **n-gram Jaccard**: never all-pairs — the *inverted-index* join
+  (doc,shingle) self-joined on shingle only pairs documents that share a
+  shingle, then jaccard = |∩| / (|A|+|B|-|∩|).  Shuffle is bounded by
+  posting-list sizes; a stop-shingle cap (drop shingles appearing in
+  > max_df docs) bounds the quadratic blowup exactly like stop-words.
+- **MinHash+LSH**: H=32 md5 min-hashes -> 8 bands x 4 rows; band
+  signature equality proposes candidates; exact Jaccard verifies.
+  md5 (not xxhash) is used for the signatures so the DuckDB oracle can
+  reproduce the *identical* candidate set — at production scale swap in
+  xxhash64 seeds for speed (one-line change in ``_minhash_col``).
+- **SimHash**: 64-bit signature from token xxhashes via a vectorized
+  pandas UDF; near-dup = signatures within Hamming distance d (banded
+  into 4 x 16-bit chunks for blocking).
+- **embedding near-dup**: see similarity.py (cosine >= threshold pairs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import fingerprint_md5
+
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) fingerprint.
+    Adds ``fp`` and ``is_dup``; survivors have is_dup = false."""
+    out = df.withColumn("fp", fingerprint_md5(F.col(text_col)))
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return out.withColumn("is_dup", F.row_number().over(w) > 1)
+
+
+# ------------------------------------------------------------- shingles
+def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_micro: int = 500_000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs via inverted-index join.
+
+    Returns (doc_a, doc_b, jac_micro), doc_a < doc_b.  ``max_df`` drops
+    stop-shingles (posting lists longer than max_df) — at web scale this
+    is what keeps the self-join subquadratic.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        keep = sh.groupBy("shingle").agg(F.count("*").alias("df_")).where(
+            F.col("df_") <= max_df
+        )
+        sh = sh.join(keep.select("shingle"), "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jac_micro",
+            F.floor(
+                F.col("inter") * 1_000_000 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("long"),
+        )
+        .where(F.col("jac_micro") >= threshold_micro)
+        .select("doc_a", "doc_b", "jac_micro")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- minhash
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc, mh_0..mh_31): md5-based min-hash per seed (oracle-identical
+    in DuckDB; swap md5 -> xxhash64(shingle, seed) for production speed)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature; equal band-signature -> candidate pair."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                F.col("doc"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bsig"),
+            )
+        )
+    allb = bands[0]
+    for d in bands[1:]:
+        allb = allb.unionByName(d)
+    a, b2 = allb.alias("a"), allb.alias("b")
+    return (
+        a.join(b2, ["band", "bsig"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_micro: int = 500_000,
+) -> DataFrame:
+    """Candidates from LSH bands, verified by exact Jaccard."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cands.join(a, cands["doc_a"] == F.col("a.doc"))
+        .join(b, (cands["doc_b"] == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jac_micro",
+            F.floor(
+                F.col("inter") * 1_000_000 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("long"),
+        )
+        .where(F.col("jac_micro") >= threshold_micro)
+        .select("doc_a", "doc_b", "jac_micro")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash_py(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (pure Python core for tests)."""
+    from ..urlnorm import xxhash64_py
+
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = np.uint64(xxhash64_py(t.encode("utf-8")) & ((1 << 64) - 1))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, simhash long) via Arrow-batched pandas UDF."""
+
+    @F.pandas_udf("long")
+    def sim(texts: pd.Series) -> pd.Series:
+        return pd.Series([simhash_py((t or "").split(" ")) for t in texts])
+
+    return df.select(F.col(id_col).alias("doc"), sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs within Hamming distance via 4x16-bit band blocking
+    (any pair within distance 3 shares at least one exact 16-bit chunk)."""
+    sigs = simhash(df, id_col, text_col)
+    chunks = [
+        sigs.select(
+            "doc", "simhash", F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+        )
+        for c in range(4)
+    ]
+    allc = chunks[0]
+    for d in chunks[1:]:
+        allc = allc.unionByName(d)
+    a, b = allc.alias("a"), allc.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["chunk", "ck"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,138 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride Spark as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas UDFs over mapInPandas.  The decode libraries
+(Pillow/ffmpeg/torchaudio) are NOT in this container, so the codec step
+is stubbed two ways:
+
+- ``decode_image_meta``: a *deterministic fake* decoder that parses the
+  synthetic header written by ``fake_image``; real plumbing (schema,
+  batching, partition sizing) — fake pixels.
+- ``decode_image_real``: raises NotImplementedError with the exact
+  production swap-in point documented.
+
+The Spark-side contract (what actually matters at 100 TB): binary
+payloads are *never* shuffled through Python row-by-row — mapInPandas
+streams Arrow record batches; payload-heavy tables are written with
+small row groups and read with ``spark.sql.files.maxPartitionBytes``
+tuned so one partition ~ executor memory / 4.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FAKE_MAGIC = b"FIMG"
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def fake_image(width: int, height: int, channels: int = 3) -> bytes:
+    """Deterministic synthetic payload: FIMG header + w*h*c filler."""
+    header = FAKE_MAGIC + struct.pack("<III", width, height, channels)
+    body = bytes((width * 31 + height * 17 + i) % 251 for i in range(min(64, width * height)))
+    return header + body
+
+
+def decode_image_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
+    """Adds ``meta struct<width,height,channels,n_bytes,codec>`` by
+    parsing payload headers in Arrow batches (the deterministic stub)."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("meta", IMAGE_META_SCHEMA)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for raw in pdf[bin_col]:
+                raw = bytes(raw) if raw is not None else b""
+                if raw[:4] == FAKE_MAGIC and len(raw) >= 16:
+                    w, h, c = struct.unpack("<III", raw[4:16])
+                    metas.append(
+                        {"width": w, "height": h, "channels": c,
+                         "n_bytes": len(raw), "codec": "fimg"}
+                    )
+                else:
+                    metas.append(
+                        {"width": None, "height": None, "channels": None,
+                         "n_bytes": len(raw), "codec": "unknown"}
+                    )
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_image_real(df: DataFrame, bin_col: str = "payload") -> DataFrame:
+    """Production decode: swap the body of ``run`` for
+    ``PIL.Image.open(io.BytesIO(raw))`` (or cv2.imdecode) keeping the
+    same mapInPandas shape — batch in, batch out, schema fixed."""
+    raise NotImplementedError(
+        "image codec libraries not available in this environment; "
+        "use decode_image_meta (deterministic stub) — same Spark plumbing"
+    )
+
+
+def resize_stub(df: DataFrame, target_w: int, target_h: int,
+                bin_col: str = "payload") -> DataFrame:
+    """Resize plumbing: rewrites the fake header to the target dims
+    (production: actual resample in the same UDF shape)."""
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fixed = []
+            for raw in pdf[bin_col]:
+                raw = bytes(raw) if raw is not None else b""
+                if raw[:4] == FAKE_MAGIC and len(raw) >= 16:
+                    _, _, c = struct.unpack("<III", raw[4:16])
+                    fixed.append(FAKE_MAGIC + struct.pack("<III", target_w, target_h, c) + raw[16:])
+                else:
+                    fixed.append(raw)
+            pdf = pdf.copy()
+            pdf[bin_col] = fixed
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int, bin_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """Video frame sampling plumbing: emits (media_id, frame_no, frame)
+    rows — 1->N row expansion through mapInPandas (production: ffmpeg
+    keyframe extraction in the same shape)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(raw) if raw is not None else b""
+                n_frames = max(1, len(raw) // 16)
+                for fno in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    nos.append(fno)
+                    frames.append(raw[fno * 16 : (fno + 1) * 16])
+            yield pd.DataFrame({id_col: ids, "frame_no": nos, "frame": frames})
+
+    return df.mapInPandas(run, schema=out_schema)

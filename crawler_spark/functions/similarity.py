@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: built-in higher-order functions (zip_with +
+  aggregate) — JVM-side, no Python; the correctness baseline.
+- LSH-bucketed ANN: random-hyperplane signs -> bucket; probe only the
+  query's bucket (+ optional multi-probe neighbors).  The scale path:
+  the bucket join replaces the full scan; recall tuned by n_planes /
+  n_probes.
+- cosine near-dup pairs: embedding-space dedup (threshold join) using
+  the same bucket blocking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k by cosine to a literal query vector.  One scan, one
+    takeOrdered-style global top-k (Spark optimizes orderBy+limit to
+    TakeOrderedAndProject — no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = emb.select(
+        F.col(id_col).alias("vec_id"), cosine(F.col(vec_col), q).alias("cos")
+    )
+    if exclude_id is not None:
+        out = out.where(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def _planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> Column:
+    """Random-hyperplane signature as an int bucket id (pandas UDF —
+    the per-row work is a matmul, exactly what Arrow batching is for)."""
+    P = planes
+
+    @F.pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (M @ P.T) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return bucket(F.col(vec_col))
+
+
+def ann_topk_lsh(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, seed: int = 42, exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    At scale the bucket column is a partition key, so the probe prunes
+    partitions instead of scanning the corpus."""
+    dim = len(query_vec)
+    P = _planes(n_planes, dim, seed)
+    qsig = int(((np.asarray(query_vec) @ P.T) > 0) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(vec_col, P))
+    cand = bucketed.where(F.col("bucket") == qsig)
+    return brute_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def cosine_neardup_pairs_lsh(
+    emb: DataFrame, dim: int, threshold_micro: int = 900_000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 6, seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs (cos >= threshold), LSH-bucket blocked:
+    only same-bucket pairs are scored — the self-join key is the bucket,
+    so the shuffle is by bucket, never all-pairs.  High-cosine pairs land
+    in the same bucket with prob (1 - theta/pi)^n_planes; run with 2-3
+    plane seeds and union for recall.  Returns (id_a, id_b, cos_micro)."""
+    P = _planes(n_planes, dim, seed)
+    bkt = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket_col("v", P))
+    a = bkt.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = bkt.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_micro", F.floor(cosine(F.col("va"), F.col("vb")) * 1_000_000).cast("long")
+        )
+        .where(F.col("cos_micro") >= threshold_micro)
+        .select("id_a", "id_b", "cos_micro")
+        .distinct()
+    )
+
+
+def cosine_neardup_pairs_exact(
+    emb: DataFrame, threshold_micro: int = 900_000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (oracle-checkable baseline;
+    O(n^2) — use the LSH-blocked variant beyond ~10^5 vectors)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_micro", F.floor(cosine(F.col("va"), F.col("vb")) * 1_000_000).cast("long")
+        )
+        .where(F.col("cos_micro") >= threshold_micro)
+        .select("id_a", "id_b", "cos_micro")
+    )

@@ -1,0 +1,137 @@
+"""Text analysis: language-ID, quality scoring, token counting,
+document fingerprinting.  Everything here is expressible as built-in
+Spark SQL functions except the winnowing/simhash kernels (pandas UDFs).
+
+Determinism contract: any column that feeds the DuckDB oracle is either
+integral, a string, or a ``*_micro`` fixed-point long (floor(x * 1e6)) —
+no raw doubles cross the comparison boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small closed-class English stopword set for the n-gram/stopword heuristic
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "that", "for", "on")
+EN_STOP_RE = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+WORD_RE = r"[a-z]+"
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[.,!?;:]"
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(text, r"\s+"))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    punctuation — the standard GPT-2-style pre-split shape."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def en_stopword_hits(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(EN_STOP_RE), F.lit(1)))
+
+
+def lang_guess(text: Column, threshold_micro: int = 30_000) -> Column:
+    """Stopword-ratio language ID: >=3% closed-class English tokens -> en.
+    (A full n-gram profile model slots in as a pandas UDF; the heuristic
+    is the deterministic, oracle-checkable core.)"""
+    ratio_micro = stopword_ratio_micro(text)
+    return F.when(ratio_micro >= threshold_micro, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def stopword_ratio_micro(text: Column) -> Column:
+    toks = token_count_ws(text)
+    return F.when(toks > 0, F.floor(en_stopword_hits(text) * 1_000_000 / toks)).otherwise(
+        F.lit(0)
+    ).cast("long")
+
+
+def punct_ratio_micro(text: Column) -> Column:
+    n = F.length(text)
+    p = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), F.lit(0)))
+    return F.when(n > 0, F.floor(p * 1_000_000 / n)).otherwise(F.lit(0)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality features + a composite
+    keep/drop flag (the C4-style heuristic filter shape)."""
+    t = F.col(text_col)
+    out = (
+        df.withColumn("n_chars_calc", F.length(t).cast("long"))
+        .withColumn("n_tokens_ws", token_count_ws(t).cast("long"))
+        .withColumn("n_tokens_bpe", token_count_bpe(t).cast("long"))
+        .withColumn("stop_ratio_micro", stopword_ratio_micro(t))
+        .withColumn("punct_ratio_micro", punct_ratio_micro(t))
+    )
+    keep = (
+        (F.col("n_tokens_ws") >= 10)
+        & (F.col("n_chars_calc") >= 50)
+        & (F.col("stop_ratio_micro") >= 10_000)
+    )
+    return out.withColumn("keep", keep)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-dedup fingerprint: md5 of normalized text (hex string —
+    identical in Spark and DuckDB, so oracle-checkable)."""
+    return F.md5(normalize_text(text))
+
+
+# ------------------------------------------------------------- winnowing
+def winnow_fingerprints_py(text: str, k: int = 5, w: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD'03): rolling-hash k-grams,
+    min-per-window, dedup consecutive picks.  Pure Python core shared by
+    the pandas UDF and unit tests."""
+    s = text.lower()
+    n = len(s)
+    if n < k:
+        return []
+    B, M = 131, (1 << 61) - 1
+    pw = pow(B, k - 1, M)
+    h = 0
+    hashes = []
+    for i, ch in enumerate(map(ord, s)):
+        h = (h * B + ch) % M
+        if i >= k:
+            h = (h - ord(s[i - k]) * pw * B) % M
+        if i >= k - 1:
+            hashes.append(h)
+    picks = []
+    last = -1
+    for i in range(0, max(1, len(hashes) - w + 1)):
+        win = hashes[i : i + w]
+        j = i + min(range(len(win)), key=lambda x: (win[x], x))
+        if j != last:
+            picks.append(hashes[j])
+            last = j
+    return picks
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4) -> DataFrame:
+    """Arrow-batched winnowing: adds ``fingerprints array<long>``."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(df.schema.fields + [T.StructField("fingerprints", T.ArrayType(T.LongType()))])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["fingerprints"] = [
+                winnow_fingerprints_py(t or "", k, w) for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
