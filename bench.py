@@ -1,0 +1,201 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract, BASELINE.md measurement protocol).
+
+Default mode — run every driver-contract query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus one
+full crawl of the synthetic corpus (the engine's real workload), and
+print ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "crawl": {...}}
+
+Scaling mode (BASELINE.md: evidence the N->4N criterion at two local
+parallelism levels on identical input):
+
+    python bench.py --crawl-only --cores 8  --corpus /tmp/c --json out8.json
+    python bench.py --crawl-only --cores 32 --corpus /tmp/c --json out32.json
+
+`scripts/bench_scaling.py` orchestrates both runs in fresh subprocesses
+(one JVM each) and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# Crawl-bench corpus shape (identical bytes at any parallelism: corpus.py
+# values are pure functions of the row id; written once, read by both runs).
+CRAWL_HOSTS = int(os.environ.get("CRAWL_BENCH_HOSTS", "384"))
+CRAWL_FILLER = int(os.environ.get("CRAWL_BENCH_FILLER", "120000"))
+ROUND_SECONDS = 30.0
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> int:
+    """Fully execute a query plan without collecting rows to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from crawler_spark.entry_queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.time()
+        _force(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def ensure_corpus(spark, path: str) -> dict:
+    """Write the crawl-bench corpus once (skip if present and complete).
+    Returns its shape from the sidecar meta, so a --corpus dir generated
+    with different env settings can't silently mismatch the task list."""
+    meta_path = os.path.join(path, "_meta.json")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                return json.load(f)
+        return {"n_hosts": CRAWL_HOSTS, "n_filler": CRAWL_FILLER}
+    from crawler_spark import corpus
+
+    corpus.write_corpus(spark, path, n_hosts=CRAWL_HOSTS, n_filler=CRAWL_FILLER)
+    meta = {"n_hosts": CRAWL_HOSTS, "n_filler": CRAWL_FILLER}
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def bench_crawl(spark, corpus_path: str, cores: int) -> dict:
+    """Run a full synthetic crawl; report URLs scheduled+fetched+deduped/s.
+
+    'URLs processed' = frontier rows that completed the schedule->dedup->
+    fetch->parse round trip = sum of per-round scheduled counts (every
+    scheduled row was bloom+anti-join deduped and joined against pages).
+    """
+    from crawler_spark import engine, rules
+    from crawler_spark.catalog import Catalog
+
+    meta = ensure_corpus(spark, corpus_path)
+    n_hosts = meta["n_hosts"]
+    tasks = rules.synthetic_tasks(
+        max_depth=5, n_book_hosts=n_hosts, n_sun_hosts=n_hosts
+    )
+    wh = tempfile.mkdtemp(prefix="crawl_bench_wh_")
+    try:
+        cfg = engine.CrawlConfig(
+            tasks=tasks,
+            pages_path=corpus_path,
+            round_seconds=ROUND_SECONDS,
+            use_bloom=True,
+            salt_buckets=4,
+            collect_metrics=True,
+        )
+        cat = Catalog(wh)
+        t0 = time.time()
+        state = engine.run_crawl(spark, cat, cfg)
+        wall = time.time() - t0
+        sched = cat.read(spark, "schedule_log").count()
+        seen = cat.read(spark, "seen").count()
+        items = cat.read(spark, "results").count()
+        # per-round walls + scheduled counts from the metrics table; the
+        # steady-state metric discards round 1 (corpus decode+cache warmup)
+        # per the BASELINE.md protocol.
+        mrows = cat.read(spark, "metrics").collect()
+        walls = {r.round: r.value for r in mrows
+                 if r.stage == "round" and r.key == "wall_seconds"}
+        scheds = {r.round: r.value for r in mrows
+                  if r.stage == "schedule" and r.key == "scheduled"}
+        steady = sorted(r for r in walls if r >= 2)
+        ss_wall = sum(walls[r] for r in steady)
+        ss_sched = sum(scheds.get(r, 0.0) for r in steady)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    ss_tput = (ss_sched / ss_wall) if ss_wall else 0.0
+    return {
+        "rounds": state["round"],
+        "urls_scheduled": sched,
+        "urls_seen": seen,
+        "items": items,
+        "wall_sec": round(wall, 3),
+        "cores": cores,
+        "urls_per_sec": round(sched / wall, 3),
+        "urls_per_sec_per_core": round(sched / wall / cores, 4),
+        "round_walls": {str(r): round(walls[r], 3) for r in sorted(walls)},
+        "steady_urls_per_sec": round(ss_tput, 3),
+        "steady_urls_per_sec_per_core": round(ss_tput / cores, 4),
+        "corpus_hosts": n_hosts,
+        "corpus_filler": meta["n_filler"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--sf-dir", default=None)
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--skip-crawl", action="store_true")
+    ap.add_argument("--corpus", default=None, help="crawl corpus dir (reused)")
+    ap.add_argument("--json", default=None, help="also write result JSON here")
+    args = ap.parse_args()
+
+    sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from crawler_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JIT + codegen + Arrow path
+    spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
+
+    queries: dict[str, float] = {}
+    crawl: dict = {}
+    corpus_path = args.corpus or os.path.join(
+        tempfile.gettempdir(), f"crawl_bench_corpus_h{CRAWL_HOSTS}_f{CRAWL_FILLER}"
+    )
+
+    if not args.crawl_only:
+        queries = bench_queries(spark, sf_dir)
+    if not args.skip_crawl:
+        t0 = time.time()
+        crawl = bench_crawl(spark, corpus_path, cores)
+        queries["crawl_full"] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "driver-contract queries + full synthetic crawl, total wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(sf_dir),
+        "cores": cores,
+        "crawl": crawl,
+    }
+    line = json.dumps(out)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(line + "\n")
+    print(line)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,16 +76,38 @@ class Catalog:
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> int:
         """Commit ``df`` as a new snapshot; returns the snapshot id."""
+        return self.write_counted(df, table, mode)[0]
+
+    def write_counted(
+        self, df: DataFrame, table: str, mode: str = "append"
+    ) -> tuple[int, int]:
+        """Commit ``df``; returns (snapshot_id, row_count).
+
+        The count comes from the written parquet footers (driver-side
+        metadata reads, no Spark job) — the engine uses it instead of
+        separate ``.count()`` actions, halving the per-round job count.
+        Iceberg gives the same number for free in its snapshot summary.
+        """
         assert mode in ("append", "overwrite"), mode
         manifest = self._load_manifest(table)
         snap_id = (manifest[-1]["id"] + 1) if manifest else 1
         rel = f"snap-{snap_id:06d}"
         out_dir = os.path.join(self._table_dir(table), rel)
         df.write.mode("overwrite").parquet(out_dir)
-        rows = None  # avoid an extra count job; lineage counts separately
+        rows = self._dir_rows(out_dir)
         manifest.append({"id": snap_id, "mode": mode, "dir": rel, "rows": rows})
         self._commit(table, manifest)
-        return snap_id
+        return snap_id, rows
+
+    @staticmethod
+    def _dir_rows(out_dir: str) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for name in os.listdir(out_dir):
+            if name.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(out_dir, name)).num_rows
+        return total
 
     def _live_dirs(self, table: str, snapshot_id: int | None = None) -> list[str]:
         manifest = self._load_manifest(table)

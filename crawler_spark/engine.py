@@ -79,6 +79,9 @@ class CrawlConfig:
     salt_buckets: int = 1
     use_bloom: bool = True
     bloom_fpp: float = 0.01
+    # below this seen-set size the bloom build costs more than the exact
+    # anti-join it saves; production target is ~10^8+ per host-bucket
+    bloom_min_seen: int = 1024
     max_rounds: int = 64
     collect_metrics: bool = True
 
@@ -130,8 +133,7 @@ def _max_depth_col(tasks: dict[str, Task]) -> F.Column:
 
 def bootstrap(spark: SparkSession, cat: Catalog, cfg: CrawlConfig) -> dict:
     seeds = seed_frontier(spark, cfg.tasks)
-    n = seeds.count()
-    snap = cat.write(seeds, "frontier_pending", mode="overwrite")
+    snap, n = cat.write_counted(seeds, "frontier_pending", mode="overwrite")
     state = {
         "round": 0,
         "max_seq": n - 1,
@@ -174,9 +176,12 @@ def run_round(
     # F3 depth cutoff (deterministic -> dropping at schedule == at pull)
     cand = pending.where(F.col("depth") <= _max_depth_col(cfg.tasks))
     # F4 seen dedup: bloom pre-filter + exact anti-join
+    _t = time.time()
     cand = dedup_candidates(
-        cand, seen_df, state["seen_count"], use_bloom=cfg.use_bloom, fpp=cfg.bloom_fpp
+        cand, seen_df, state["seen_count"], use_bloom=cfg.use_bloom,
+        fpp=cfg.bloom_fpp, min_seen=cfg.bloom_min_seen,
     )
+    bloom_wall = time.time() - _t  # eager: the bloom build collects here
     # in-round duplicate URLs: keep the schedulable-first copy, drop the
     # rest (reference: duplicate skipped at pull once first copy marked
     # visited, crawler.go:85-90)
@@ -274,66 +279,75 @@ def run_round(
         )
     else:
         new_rows = r2
+    _t = time.time()
     new_rows, n_new = assign_seq(
         new_rows, ["_retry", "parent_seq", "link_pos"], start_seq=state["max_seq"] + 1
     )
     new_rows = new_rows.select(*FRONTIER_COLS).persist()
+    seq_wall = time.time() - _t  # eager: offsets collect runs the pipeline
 
-    # ---- commit outputs (state last = the checkpoint barrier)
+    # ---- commit outputs (state last = the checkpoint barrier).  Row
+    # counts come from the write itself (parquet footers / Iceberg
+    # snapshot summary) — no standalone .count() actions in the round.
     snaps = dict(state["snapshots"])
+    rows: dict[str, int] = {}
+    stage_wall: dict[str, float] = {}
+
+    def commit(df: DataFrame, table: str, mode: str = "append") -> None:
+        t = time.time()
+        snaps[table], rows[table] = cat.write_counted(df, table, mode)
+        stage_wall[table] = time.time() - t
+
     seen_delta = (
         ok.select("url_hash", "url_norm").unionByName(
             short.select("url_hash", "url_norm")
         ).withColumn("round", F.lit(round_no))
     )
-    n_seen_delta = seen_delta.count()
-    if n_seen_delta:
-        snaps["seen"] = cat.write(seen_delta, "seen")
+    commit(seen_delta, "seen")
+    n_seen_delta = rows["seen"]
     if items is not None:
-        n_items = items.count()
-        if n_items:
-            snaps["results"] = cat.write(items, "results")
-    else:
-        n_items = 0
-    n_parked = parked.count()
-    if n_parked:
-        snaps["failures"] = cat.write(parked, "failures")
+        commit(items, "results")
+    n_items = rows.get("results", 0)
+    commit(parked, "failures")
+    n_parked = rows["failures"]
 
     # crawl-order artifact: the scheduled set per round under the
     # determinism contract (priority DESC, seq ASC) — the object compared
     # against the reference-oracle ordering in the equivalence tests
-    snaps["schedule_log"] = cat.write(
+    commit(
         scheduled.select(
             F.lit(round_no).alias("round"), "seq", "priority", "url_norm", "url_hash"
         ),
         "schedule_log",
     )
+    n_scheduled = rows["schedule_log"]
 
     next_pending = deferred.unionByName(new_rows)
-    snaps["frontier_pending"] = cat.write(
-        next_pending, "frontier_pending", mode="overwrite"
-    )
-    n_pending = cat.read(spark, "frontier_pending").count()
+    commit(next_pending, "frontier_pending", mode="overwrite")
+    n_pending = rows["frontier_pending"]
 
-    n_scheduled = scheduled.count()
     wall = time.time() - t0
     if cfg.collect_metrics:
-        n_ok = ok.count()
         mrows = [
             (round_no, "schedule", "scheduled", float(n_scheduled)),
-            (round_no, "fetch", "ok", float(n_ok)),
             (round_no, "fetch", "seen_delta", float(n_seen_delta)),
             (round_no, "fetch", "parked", float(n_parked)),
             (round_no, "parse", "items", float(n_items)),
             (round_no, "frontier", "new_rows", float(n_new)),
             (round_no, "frontier", "pending_next", float(n_pending)),
             (round_no, "round", "wall_seconds", wall),
+        ] + [
+            (round_no, "stage_wall", t, float(w)) for t, w in stage_wall.items()
+        ] + [
+            (round_no, "stage_wall", "dedup_bloom", float(bloom_wall)),
+            (round_no, "stage_wall", "assign_seq", float(seq_wall)),
         ]
         snaps["metrics"] = cat.write(
             spark.createDataFrame(mrows, METRICS_SCHEMA), "metrics"
         )
         lrows = [
-            (round_no, "commit", t, int(sid), -1) for t, sid in snaps.items()
+            (round_no, "commit", t, int(sid), rows.get(t, -1))
+            for t, sid in snaps.items()
         ]
         snaps["lineage"] = cat.write(
             spark.createDataFrame(lrows, LINEAGE_SCHEMA), "lineage"

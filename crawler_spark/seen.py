@@ -126,12 +126,14 @@ def dedup_candidates(
     seen_count: int,
     use_bloom: bool = True,
     fpp: float = 0.01,
+    min_seen: int = 1024,
 ) -> DataFrame:
     """Exact F4 semantics: candidates minus seen (left anti on url_hash),
-    with the bloom fast path when the seen set is non-trivial."""
+    with the bloom fast path once the seen set outgrows ``min_seen``
+    (below that the bloom build job costs more than the join it saves)."""
     if seen_count == 0:
         return candidates
-    if not use_bloom or seen_count < 1024:
+    if not use_bloom or seen_count < min_seen:
         return candidates.join(
             seen_df.select("url_hash"), on="url_hash", how="left_anti"
         )
