@@ -98,7 +98,8 @@ def bench_crawl(spark, corpus_path: str, cores: int) -> dict:
     tasks = rules.synthetic_tasks(
         max_depth=5, n_book_hosts=n_hosts, n_sun_hosts=n_hosts
     )
-    wh = tempfile.mkdtemp(prefix="crawl_bench_wh_")
+    wh_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix="crawl_bench_wh_", dir=wh_base)
     try:
         cfg = engine.CrawlConfig(
             tasks=tasks,
@@ -163,8 +164,10 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup: JIT + codegen + Arrow path
+    # warmup: JIT + codegen, AND the pyspark.daemon worker pool — a cold
+    # Python-UDF stage pays ~12s of worker fork/import otherwise
     spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
+    spark.range(0, cores * 4, 1, cores).mapInPandas(lambda it: it, "id long").count()
 
     queries: dict[str, float] = {}
     crawl: dict = {}

@@ -99,6 +99,34 @@ class Catalog:
         self._commit(table, manifest)
         return snap_id, rows
 
+    def write_rows(self, rows: list[tuple], schema, table: str,
+                   mode: str = "append") -> int:
+        """Commit a small driver-side row list (metrics, lineage) as a
+        snapshot via pyarrow — no Spark job for bookkeeping tables."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {"integer": pa.int32(), "long": pa.int64(),
+               "string": pa.string(), "double": pa.float64()}
+        pa_schema = pa.schema(
+            [(f.name, _PA[f.dataType.typeName()]) for f in schema.fields]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        tbl = pa.table(
+            {f.name: pa.array(list(c), type=_PA[f.dataType.typeName()])
+             for f, c in zip(schema.fields, cols)},
+            schema=pa_schema,
+        )
+        manifest = self._load_manifest(table)
+        snap_id = (manifest[-1]["id"] + 1) if manifest else 1
+        rel = f"snap-{snap_id:06d}"
+        out_dir = os.path.join(self._table_dir(table), rel)
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(out_dir, "part-00000.parquet"))
+        manifest.append({"id": snap_id, "mode": mode, "dir": rel, "rows": len(rows)})
+        self._commit(table, manifest)
+        return snap_id
+
     @staticmethod
     def _dir_rows(out_dir: str) -> int:
         import pyarrow.parquet as pq

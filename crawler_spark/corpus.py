@@ -263,9 +263,14 @@ def generate_pages(
             F.when(fban, F.lit(" " + BAN_MARKER)).otherwise(F.lit("")),
             F.lit("</p></body></html>"),
         )
+        # filler pages stay small (600 chars): they model frontier/corpus
+        # row count, not byte volume — padding them like crawlable pages
+        # just turns the fetch-join scan into a pure decompress-bandwidth
+        # benchmark (they are never scheduled, so the 6000-byte gate
+        # never sees them)
         fdf = filler.select(
             furl.alias("url"),
-            F.when(fshort, _pad(fbody, 400)).otherwise(_pad(fbody)).alias("page_str"),
+            F.when(fshort, _pad(fbody, 400)).otherwise(_pad(fbody, 600)).alias("page_str"),
             F.lit("").alias("text"),
             (F.lit(10_000_000) + F.col("i")).alias("ord"),
         )
@@ -280,6 +285,14 @@ def generate_pages(
 def write_corpus(
     spark: SparkSession, path: str, n_hosts: int = 8, n_filler: int = 0
 ) -> None:
-    generate_pages(spark, n_hosts, n_filler).drop("kind").write.mode(
-        "overwrite"
-    ).parquet(path)
+    """Write the corpus hash-distributed by url across all files.
+
+    generate_pages unions homogeneous blocks (all tag pages together,
+    all filler together); written as-is, a scan's parse work would pile
+    onto the few files holding crawlable pages and serialize the round
+    on ~1/4 of the cores (measured).  Real WARC archives interleave page
+    types, and the same lesson holds at 100 TB: keep per-file work
+    uniform, or the scan's critical path is the skewed file."""
+    df = generate_pages(spark, n_hosts, n_filler).drop("kind")
+    p = spark.sparkContext.defaultParallelism
+    df.repartition(p, F.col("url")).write.mode("overwrite").parquet(path)

@@ -23,10 +23,14 @@ seen between rounds) and is what makes retry idempotent here.
 
 Fetch-join strategy: ``pages JOIN broadcast(scheduled)`` — build side is
 the (budget-bounded, small) scheduled set, so the huge corpus is only
-*streamed*, never shuffled; misses recovered by a cheap broadcast
-anti-join against the hit keys.  At 100 TB the pages table would
-additionally be bucketed by url_norm / carry Iceberg bloom skip indexes
-so the scan prunes files; the join shape stays identical.
+*streamed*, never shuffled and never cached.  Each round makes exactly
+ONE pass over the corpus: scan -> decode -> join -> ban/short flags ->
+all rule kernels as a single CASE-dispatch projection
+(parsers.dispatch_cols); only the narrow parsed result (no bodies) is
+persisted, and misses are recovered by a cheap broadcast anti-join
+against its keys.  At 100 TB the pages table would additionally be
+bucketed by url_norm / carry Iceberg bloom skip indexes so the scan
+prunes files; the join shape stays identical.
 """
 
 from __future__ import annotations
@@ -44,11 +48,11 @@ from .catalog import Catalog
 from .frontier import (
     FRONTIER_COLS,
     assign_seq,
-    children_from_links,
+    children_from_parsed,
     seed_frontier,
     with_url_identity,
 )
-from .parsers import apply_rule_sql
+from .parsers import dispatch_cols
 from .politeness import apply_robots, rank_by_budget
 from .rules import FieldsRule, LinkRule, MatchRule, Task
 from .schemas import (
@@ -110,18 +114,20 @@ def save_state(cat: Catalog, state: dict) -> None:
 def prepare_pages(pages: DataFrame) -> DataFrame:
     """Corpus -> fetchable form keyed by canonical URL.
 
-    ``body`` is the UTF-8 decode of html (P11; the synthetic corpus is
-    already UTF-8 — a charset-sniffing pandas UDF slots in here for raw
-    WARC bytes), ``body_bytes`` the raw length for the reference's
-    len(body)<6000 gate (crawler.go:113)."""
+    ``html`` stays raw binary here — the UTF-8 decode (P11; a
+    charset-sniffing pandas UDF slots in for raw WARC bytes) happens
+    AFTER the fetch join, so only scheduled rows ever inflate to char
+    data; ``body_bytes`` is the raw length for the reference's
+    len(body)<6000 gate (crawler.go:113).  This is a lazy *plan*, not a
+    cache: the round streams it once per round (scan -> join -> decode),
+    which is the only honest shape at 10^10 pages."""
     from .urlnorm import canon_col
 
     return pages.select(
-        F.col("url").alias("page_url"),
-        F.decode(F.col("html"), "UTF-8").alias("body"),
+        F.col("html"),
         F.length(F.col("html")).alias("body_bytes"),
-        F.col("text").alias("golden_text"),
-    ).withColumn("url_norm", canon_col(F.col("page_url")))
+        canon_col(F.col("url")).alias("url_norm"),
+    )
 
 
 def _max_depth_col(tasks: dict[str, Task]) -> F.Column:
@@ -201,57 +207,74 @@ def run_round(
     scheduled = scheduled.select(*FRONTIER_COLS).persist()
     deferred = deferred.select(*FRONTIER_COLS)
 
-    # S5 fetch = stream the corpus past a broadcast hash of scheduled
+    # ---- commit plumbing (state last = the checkpoint barrier).  Row
+    # counts come from the write itself (parquet footers / Iceberg
+    # snapshot summary) — no standalone .count() actions in the round.
+    snaps = dict(state["snapshots"])
+    rows: dict[str, int] = {}
+    stage_wall: dict[str, float] = {}
+
+    def commit(df: DataFrame, table: str, mode: str = "append") -> None:
+        t = time.time()
+        snaps[table], rows[table] = cat.write_counted(df, table, mode)
+        stage_wall[table] = time.time() - t
+
+    # crawl-order artifact committed FIRST: it materializes `scheduled`
+    # into its (small) cache, so every later consumer — the fetch-join
+    # broadcast build, the miss anti-join, deferred — reads the cache
+    # instead of re-running the dedup/rank pipeline.
+    commit(
+        scheduled.select(
+            F.lit(round_no).alias("round"), "seq", "priority", "url_norm", "url_hash"
+        ),
+        "schedule_log",
+    )
+    n_scheduled = rows["schedule_log"]
+
+    # S5 fetch + parse: ONE streaming pass over the corpus per round.
+    # The corpus is never cached (at 10^10 URLs it never could be) —
+    # scan -> decode -> join broadcast(scheduled) -> flags -> every rule
+    # kernel as CASE dispatch, all inside one whole-stage-codegen pass —
+    # and only the *narrow* result (no bodies) is persisted.
     hits = pages_prepared.join(
         F.broadcast(scheduled), on="url_norm", how="inner"
+    ).withColumn("body", F.decode(F.col("html"), "UTF-8"))
+    parsed = hits.select(
+        *FRONTIER_COLS,
+        F.col("body").contains(cfg.ban_marker).alias("banned"),  # F8
+        (F.col("body_bytes") < cfg.min_body_bytes).alias("short"),  # F9
+        *[
+            c.alias(name)
+            for name, c in dispatch_cols(cfg.tasks, body_col="body").items()
+        ],
     ).persist()
-    misses = scheduled.join(
-        F.broadcast(hits.select("url_norm")), on="url_norm", how="left_anti"
+
+    seen_delta = (
+        parsed.where(~F.col("banned"))  # ok + short are marked seen
+        .select("url_hash", "url_norm")
+        .withColumn("round", F.lit(round_no))
     )
-    banned = hits.where(F.col("body").contains(cfg.ban_marker))  # F8
-    ok_or_short = hits.where(~F.col("body").contains(cfg.ban_marker))
-    short = ok_or_short.where(F.col("body_bytes") < cfg.min_body_bytes)  # F9
-    ok = ok_or_short.where(F.col("body_bytes") >= cfg.min_body_bytes).persist()
+    commit(seen_delta, "seen")  # first action: populates the parsed cache
+    n_seen_delta = rows["seen"]
 
-    # ---- parse per (task, rule) branch: pure SQL kernels, JVM-side
-    link_children: list[DataFrame] = []
-    item_parts: list[DataFrame] = []
-    for tname in sorted(cfg.tasks):
-        task = cfg.tasks[tname]
-        for rname in sorted(task.rules):
-            rule = task.rules[rname]
-            branch = ok.where(
-                (F.col("task_name") == tname) & (F.col("rule_name") == rname)
-            )
-            parsed = apply_rule_sql(branch, rule, body_col="body")
-            if isinstance(rule, LinkRule):
-                link_children.append(
-                    children_from_links(parsed, rule, task, round_no)
-                )
-            if isinstance(rule, (MatchRule, FieldsRule)):
-                item_parts.append(
-                    parsed.where(F.col("emit")).select(
-                        F.col("task_name").alias("task"),
-                        F.col("rule_name").alias("rule"),
-                        F.col("url"),
-                        F.current_timestamp().alias("ts"),
-                        F.coalesce(
-                            F.col("data"), F.lit(None).cast("map<string,string>")
-                        ).alias("data"),
-                        F.lit(round_no).alias("round"),
-                    )
-                )
-
-    items = None
-    for p in item_parts:
-        items = p if items is None else items.unionByName(p)
-
-    children = None
-    for c in link_children:
-        children = c if children is None else children.unionByName(c)
+    ok = parsed.where(~F.col("banned") & ~F.col("short"))
+    items = ok.where(F.col("emit")).select(
+        F.col("task_name").alias("task"),
+        F.col("rule_name").alias("rule"),
+        F.col("url"),
+        F.current_timestamp().alias("ts"),
+        F.col("data"),
+        F.lit(round_no).alias("round"),
+    )
+    commit(items, "results")
+    n_items = rows["results"]
 
     # ---- failures: fetch miss or ban -> retry once, then park (F7)
-    failed = misses.unionByName(banned.select(*FRONTIER_COLS))
+    misses = scheduled.join(
+        F.broadcast(parsed.select("url_norm")), on="url_norm", how="left_anti"
+    )
+    banned = parsed.where(F.col("banned")).select(*FRONTIER_COLS)
+    failed = misses.unionByName(banned)
     retries = (
         failed.where(F.col("attempts") + 1 < cfg.max_attempts)
         .withColumn("attempts", F.col("attempts") + 1)
@@ -268,59 +291,25 @@ def run_round(
             (F.col("attempts") + 1).alias("attempts"),
         )
     )
+    commit(parked, "failures")
+    n_parked = rows["failures"]
 
-    # ---- seq assignment for the discovery delta (children then retries:
-    # the deterministic-core contract, SURVEY.md §7 hard part 1)
+    # ---- discovery delta: one explode over the parsed cache covers all
+    # LinkRule branches (rule constants ride the rows); seq assignment
+    # children-then-retries per the deterministic-core contract
+    # (SURVEY.md §7 hard part 1).
+    children = children_from_parsed(ok, _max_depth_col(cfg.tasks), round_no)
     noseq = [c for c in FRONTIER_COLS if c != "seq"]
-    r2 = retries.select(*noseq).withColumn("_retry", F.lit(1))
-    if children is not None:
-        new_rows = (
-            children.select(*noseq).withColumn("_retry", F.lit(0)).unionByName(r2)
-        )
-    else:
-        new_rows = r2
+    new_rows = (
+        children.select(*noseq).withColumn("_retry", F.lit(0))
+        .unionByName(retries.select(*noseq).withColumn("_retry", F.lit(1)))
+    )
     _t = time.time()
     new_rows, n_new = assign_seq(
         new_rows, ["_retry", "parent_seq", "link_pos"], start_seq=state["max_seq"] + 1
     )
     new_rows = new_rows.select(*FRONTIER_COLS).persist()
     seq_wall = time.time() - _t  # eager: offsets collect runs the pipeline
-
-    # ---- commit outputs (state last = the checkpoint barrier).  Row
-    # counts come from the write itself (parquet footers / Iceberg
-    # snapshot summary) — no standalone .count() actions in the round.
-    snaps = dict(state["snapshots"])
-    rows: dict[str, int] = {}
-    stage_wall: dict[str, float] = {}
-
-    def commit(df: DataFrame, table: str, mode: str = "append") -> None:
-        t = time.time()
-        snaps[table], rows[table] = cat.write_counted(df, table, mode)
-        stage_wall[table] = time.time() - t
-
-    seen_delta = (
-        ok.select("url_hash", "url_norm").unionByName(
-            short.select("url_hash", "url_norm")
-        ).withColumn("round", F.lit(round_no))
-    )
-    commit(seen_delta, "seen")
-    n_seen_delta = rows["seen"]
-    if items is not None:
-        commit(items, "results")
-    n_items = rows.get("results", 0)
-    commit(parked, "failures")
-    n_parked = rows["failures"]
-
-    # crawl-order artifact: the scheduled set per round under the
-    # determinism contract (priority DESC, seq ASC) — the object compared
-    # against the reference-oracle ordering in the equivalence tests
-    commit(
-        scheduled.select(
-            F.lit(round_no).alias("round"), "seq", "priority", "url_norm", "url_hash"
-        ),
-        "schedule_log",
-    )
-    n_scheduled = rows["schedule_log"]
 
     next_pending = deferred.unionByName(new_rows)
     commit(next_pending, "frontier_pending", mode="overwrite")
@@ -342,18 +331,14 @@ def run_round(
             (round_no, "stage_wall", "dedup_bloom", float(bloom_wall)),
             (round_no, "stage_wall", "assign_seq", float(seq_wall)),
         ]
-        snaps["metrics"] = cat.write(
-            spark.createDataFrame(mrows, METRICS_SCHEMA), "metrics"
-        )
+        snaps["metrics"] = cat.write_rows(mrows, METRICS_SCHEMA, "metrics")
         lrows = [
             (round_no, "commit", t, int(sid), rows.get(t, -1))
             for t, sid in snaps.items()
         ]
-        snaps["lineage"] = cat.write(
-            spark.createDataFrame(lrows, LINEAGE_SCHEMA), "lineage"
-        )
+        snaps["lineage"] = cat.write_rows(lrows, LINEAGE_SCHEMA, "lineage")
 
-    for df in (cand, scheduled, hits, ok, new_rows):
+    for df in (cand, scheduled, parsed, new_rows):
         df.unpersist()
 
     new_state = {
@@ -385,11 +370,10 @@ def run_crawl(
         state = resume(cat)
     else:
         state = bootstrap(spark, cat, cfg)
-    pages_prepared = prepare_pages(spark.read.parquet(cfg.pages_path)).persist()
+    pages_prepared = prepare_pages(spark.read.parquet(cfg.pages_path))
     robots_df = (
         spark.read.parquet(cfg.robots_path) if cfg.robots_path else None
     )
     while not state["finished"] and state["round"] < cfg.max_rounds:
         state = run_round(spark, cat, cfg, state, pages_prepared, robots_df)
-    pages_prepared.unpersist()
     return state

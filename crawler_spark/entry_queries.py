@@ -10,12 +10,15 @@ Mapping to SURVEY.md §2 operator inventory:
   dedup_anti_join    F4 seen-set anti-join
   priority_topk      F1 priority-first drain (global top-k)
   link_explode       P1/P3 findall -> explode (link expansion)
+  link_truncate      F10 anti-ban truncation (slice before explode)
+  body_length_filter F9 short-body gate
   rlike_filter       P2/P8 emit-if-match predicate
   regex_field_extract P5/P6 first-submatch ExtraString semantics
   per_source_agg     per-host metrics aggregation (K1 routing shape)
 plus training-data ops: text_quality, lang_id, fingerprint, dedup_exact,
-dedup_ngram_jaccard, dedup_minhash_lsh (+ queries-only: simhash_pairs,
-ann_lsh_topk, winnow_fingerprints).
+dedup_ngram_jaccard, dedup_minhash_lsh, multimodal_decode (+
+queries-only: simhash_pairs, ann_lsh_topk, winnow_fingerprints,
+frame_sample).
 """
 
 from __future__ import annotations
@@ -87,6 +90,24 @@ def q_link_explode(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(20)
+    )
+
+
+def q_link_truncate(spark, sf_dir):
+    """F10 anti-ban truncation: keep only the first 3 extracted links
+    per page (slice before explode, constant-folded)."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.slice(toks, 1, 3)).alias("token")
+    )
+
+
+def q_body_length_filter(spark, sf_dir):
+    """F9 short-body gate: len(body) < threshold -> silently dropped."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.length("text") >= 800)
+        .select("doc_id", F.length("text").alias("body_len"))
     )
 
 
@@ -162,6 +183,59 @@ def q_winnow(spark, sf_dir):  # queries-only (rolling-hash kernel)
     return out.select("doc_id", F.size("fingerprints").alias("n_fp"))
 
 
+# ------------------------------------------------------------ multimodal
+def _fake_media(spark, sf_dir):
+    """Deterministic binary payloads keyed by doc_id (width/height are
+    closed-form in doc_id, so DuckDB can oracle the decoded metadata)."""
+    import pyspark.sql.types as T
+
+    from .functions import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                multimodal.fake_image(32 + int(i) % 64, 32 + int(i) % 48)
+                for i in pdf["doc_id"]
+            ]
+            yield pdf
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return docs.mapInPandas(gen, schema=schema)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary payload -> mapInPandas header decode -> typed metadata.
+    The oracle recomputes the metadata closed-form from doc_id, so this
+    checks the full Arrow round-trip (gen -> binary -> parse)."""
+    from .functions import multimodal
+
+    decoded = multimodal.decode_image_meta(_fake_media(spark, sf_dir))
+    return decoded.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def q_frame_sample(spark, sf_dir):  # queries-only (1->N binary expansion)
+    from .functions import multimodal
+
+    media = _fake_media(spark, sf_dir).withColumnRenamed("doc_id", "media_id")
+    frames = multimodal.frame_sample_stub(media, every_n=2)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"), F.sum(F.length("frame")).alias("frame_bytes"))
+    )
+
+
 # ------------------------------------------------------------ similarity
 def _query_vec(spark, sf_dir) -> list[float]:
     row = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding").first()
@@ -194,6 +268,8 @@ QUERIES = {
     "dedup_anti_join": q_dedup_anti_join,
     "priority_topk": q_priority_topk,
     "link_explode": q_link_explode,
+    "link_truncate": q_link_truncate,
+    "body_length_filter": q_body_length_filter,
     "rlike_filter": q_rlike_filter,
     "regex_field_extract": q_regex_field_extract,
     "per_source_agg": q_per_source_agg,
@@ -207,6 +283,8 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "cosine_neardup": q_cosine_neardup,
+    "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
 }
 
 # =====================================================================
@@ -241,11 +319,16 @@ where floor(inter * 1000000.0 / (x.sz + y.sz - inter)) >= 500000
 
 def _minhash_lsh_oracle() -> str:
     n_hashes, n_bands, rpb = dedup.N_HASHES, dedup.N_BANDS, dedup.ROWS_PER_BAND
-    mh_cols = ",\n    ".join(
-        f"min(md5('s{i}|' || shingle)) as mh_{i}" for i in range(n_hashes)
-    )
+
+    def mh_expr(i: int) -> str:
+        p, c = divmod(i, dedup.CHUNKS_PER_MD5)
+        return (
+            f"min(substr(md5('s{p}|' || shingle), {4 * c + 1}, 4)) as mh_{i}"
+        )
+
+    mh_cols = ",\n    ".join(mh_expr(i) for i in range(n_hashes))
     band_selects = "\n  union all\n".join(
-        "  select doc, {b} as band, md5({cc}) as bsig from sig".format(
+        "  select doc, {b} as band, {cc} as bsig from sig".format(
             b=b,
             cc=" || '|' || ".join(
                 f"mh_{b * rpb + r}" for r in range(rpb)
@@ -312,6 +395,15 @@ ORACLES = {
         from (select unnest(regexp_extract_all(text, '[a-z]+')) as token
               from documents)
         group by token order by cnt desc, token asc limit 20
+    """,
+    "link_truncate": """
+        select doc_id,
+               unnest(list_slice(regexp_extract_all(text, '[a-z]+'), 1, 3)) as token
+        from documents
+    """,
+    "body_length_filter": """
+        select doc_id, cast(length(text) as int) as body_len
+        from documents where length(text) >= 800
     """,
     "rlike_filter": r"""
         select doc_id from documents
@@ -383,7 +475,16 @@ ORACLES = {
         from embeddings a join embeddings b on a.vec_id < b.vec_id
         where floor(list_cosine_similarity(a.embedding, b.embedding) * 1000000) >= 400000
     """,
-    # simhash_pairs / winnow_fingerprints / ann_lsh_topk intentionally have
-    # no oracle: xxhash64 / rolling-hash / numpy hyperplanes are not
-    # reproducible in DuckDB SQL -> driver records rows-only checks.
+    "multimodal_decode": """
+        select doc_id,
+               cast(32 + doc_id % 64 as int) as width,
+               cast(32 + doc_id % 48 as int) as height,
+               cast(16 + least(64, (32 + doc_id % 64) * (32 + doc_id % 48))
+                    as bigint) as n_bytes
+        from documents
+    """,
+    # simhash_pairs / winnow_fingerprints / ann_lsh_topk / frame_sample
+    # intentionally have no oracle: xxhash64 / rolling-hash / numpy
+    # hyperplanes / binary frame expansion are not reproducible in DuckDB
+    # SQL -> driver records rows-only checks.
 }

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import urlnorm
-from .rules import LinkRule, Task
+from .rules import Task
 from .schemas import FRONTIER_SCHEMA
 
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
@@ -97,15 +97,17 @@ def assign_seq(
     return out, acc
 
 
-def children_from_links(
-    parsed: DataFrame, rule: LinkRule, task: Task, round_no: int
+def children_from_parsed(
+    parsed: DataFrame, max_depth_col: "F.Column", round_no: int
 ) -> DataFrame:
-    """Explode a LinkRule branch's ``links`` into child frontier rows.
+    """Explode the dispatch-parsed ``links`` into child frontier rows.
 
-    Reference parity: depth+1 (douban_group.go:52), depth cutoff
-    (request.go:34-40 — applied here at discovery; the check is
-    deterministic so dropping early ≡ dropping at pull), TmpData carry
-    (dobuan_book.go:112-113), priority from the rule (roots are 1,
+    Rule constants ride the rows as columns (next_rule, child_priority,
+    tmp_key — parsers.dispatch_cols), so one explode covers every
+    LinkRule branch in the registry.  Reference parity: depth+1
+    (douban_group.go:52), depth cutoff at discovery (request.go:34-40 —
+    deterministic, so dropping early ≡ dropping at pull), TmpData carry
+    (dobuan_book.go:112-113), child priority from the rule (roots 1,
     children 0 in every reference task).
     """
     ex = (
@@ -114,24 +116,26 @@ def children_from_links(
             F.col("task_name"),
             F.col("depth"),
             F.col("seq").alias("parent_seq"),
+            F.col("next_rule"),
+            F.col("child_priority"),
+            F.col("tmp_key"),
             F.posexplode("links").alias("link_pos", "link"),
         )
         .select(
             F.col("link.link_url").alias("url"),
             F.col("task_name"),
-            F.lit(rule.next_rule).alias("rule_name"),
+            F.col("next_rule").alias("rule_name"),
             F.lit("GET").alias("method"),
             (F.col("depth") + 1).cast("int").alias("depth"),
-            F.lit(rule.child_priority).alias("priority"),
+            F.coalesce(F.col("child_priority"), F.lit(0)).alias("priority"),
             F.col("parent_seq"),
             F.col("link_pos").cast("int").alias("link_pos"),
-            (
-                F.create_map(F.lit(rule.tmp_key), F.col("link.link_title"))
-                if rule.title_group is not None
-                else F.lit(None).cast("map<string,string>")
-            ).alias("tmp"),
+            F.when(
+                F.col("tmp_key").isNotNull(),
+                F.create_map(F.col("tmp_key"), F.col("link.link_title")),
+            ).otherwise(F.lit(None).cast("map<string,string>")).alias("tmp"),
         )
-        .where(F.col("depth") <= task.max_depth)
+        .where(F.col("depth") <= max_depth_col)
         .withColumn("attempts", F.lit(0))
         .withColumn("round", F.lit(round_no))
     )

@@ -72,7 +72,7 @@ def ngram_jaccard_pairs(
     stop-shingles (posting lists longer than max_df) — at web scale this
     is what keeps the self-join subquadratic.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if max_df is not None:
         keep = sh.groupBy("shingle").agg(F.count("*").alias("df_")).where(
@@ -103,16 +103,27 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------- minhash
+# 32 min-hashes from only N_MD5 md5 evaluations per shingle: md5 yields 32
+# hex chars; each 4-hex-char slice is an independent 16-bit hash, and the
+# *lexicographic* min over fixed-length lowercase-hex slices is a valid
+# min-hash order (uniform over values).  Identical slicing reproduces in
+# DuckDB SQL, which is what keeps the oracle bit-exact.
 N_HASHES = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
+N_MD5 = 4
+CHUNKS_PER_MD5 = 8  # 32 hex chars / 4
+
+
+def _mh_slice(i: int, shingle) -> "F.Column":
+    p, c = divmod(i, CHUNKS_PER_MD5)
+    return F.substring(F.md5(F.concat(F.lit(f"s{p}|"), shingle)), 4 * c + 1, 4)
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc, mh_0..mh_31): md5-based min-hash per seed (oracle-identical
-    in DuckDB; swap md5 -> xxhash64(shingle, seed) for production speed)."""
+    """(doc, mh_0..mh_31): sliced-md5 min-hashes (see module comment)."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min(_mh_slice(i, F.col("shingle"))).alias(f"mh_{i}")
         for i in range(N_HASHES)
     ]
     return sh.groupBy("doc").agg(*aggs)
@@ -127,7 +138,7 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             sig.select(
                 F.col("doc"),
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bsig"),
+                F.concat_ws("|", *cols).alias("bsig"),
             )
         )
     allb = bands[0]
@@ -149,8 +160,11 @@ def minhash_lsh_dedup(
     n: int = 3,
     threshold_micro: int = 500_000,
 ) -> DataFrame:
-    """Candidates from LSH bands, verified by exact Jaccard."""
-    sh = shingles(df, id_col, text_col, n)
+    """Candidates from LSH bands, verified by exact Jaccard.
+
+    ``sh`` is persisted: it feeds sizes, signatures, and both sides of
+    the verification join — four otherwise-recomputed explode passes."""
+    sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     cands = lsh_candidate_pairs(minhash_signatures(sh))
     a, b = sh.alias("a"), sh.alias("b")
@@ -192,13 +206,30 @@ def simhash_py(tokens: list[str]) -> int:
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """(id, simhash long) via Arrow-batched pandas UDF."""
-
-    @F.pandas_udf("long")
-    def sim(texts: pd.Series) -> pd.Series:
-        return pd.Series([simhash_py((t or "").split(" ")) for t in texts])
-
-    return df.select(F.col(id_col).alias("doc"), sim(F.col(text_col)).alias("simhash"))
+    """(id, simhash long), fully JVM-side (no Python in the hot path):
+    explode tokens -> xxhash64 (codegen) -> 64 per-bit sign sums ->
+    reassemble the signature with bitwise ORs.  Bit-identical to
+    :func:`simhash_py` (same XXH64 seed-42 token hashes, same >0 tie
+    rule) — that equivalence is asserted in the test suite."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("tok"),
+    ).select("doc", F.xxhash64(F.col("tok")).alias("h"))
+    bit_sums = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return bit_sums.select("doc", sig.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",

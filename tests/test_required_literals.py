@@ -1,0 +1,50 @@
+"""required_literals must only ever return substrings that every match
+of the pattern contains (guard AND rlike == rlike), checked by
+property: for random matching strings, all literals appear."""
+
+from __future__ import annotations
+
+import re
+
+from crawler_spark import rules
+from crawler_spark.parsers import required_literals
+
+ALL_PATTERNS = [
+    rules.TAG_RE, rules.BOOKLIST_RE, rules.AUTHOR_RE, rules.PUBLISHER_RE,
+    rules.PAGES_RE, rules.PRICE_RE, rules.SCORE_RE, rules.INTRO_RE,
+    rules.CITYLIST_RE, rules.CONTENT_RE, rules.SYN_TOPIC_RE,
+]
+
+
+def test_literals_are_necessary_conditions():
+    # construct a matching example per pattern, assert literals present
+    examples = {
+        rules.TAG_RE: '<a href="/t" class="tag">x</a>',
+        rules.BOOKLIST_RE: '<a class="b" href="/b" title="T"',
+        rules.AUTHOR_RE: '<span class="pl"> 作者</span>: junk <a x>A</a>',
+        rules.PUBLISHER_RE: '<span class="pl">出版社:</span> <a x>P</a>',
+        rules.PAGES_RE: '<span class="pl">页数:</span> 123<br/>',
+        rules.PRICE_RE: '<span class="pl">定价:</span>9.00元<br/>',
+        rules.SCORE_RE: '<strong class="ll rating_num " property="v:average">8.1</strong>',
+        rules.INTRO_RE: '<div class="intro">z<p>I</p></div>',
+        rules.CITYLIST_RE: 'href="https://www.douban.com/group/topic/abc/" x>T</a>',
+        rules.CONTENT_RE: '<div class="topic-content">阳台</div><div',
+        rules.SYN_TOPIC_RE: 'href="https://h.example.test/topic/t1/" x>T</a>',
+    }
+    for pat in ALL_PATTERNS:
+        m = re.search(pat, examples[pat])
+        assert m, f"example does not match {pat}"
+        for lit in required_literals(pat):
+            assert lit in examples[pat], f"{lit!r} not in example for {pat}"
+
+
+def test_sun_guard_is_selective():
+    lits = required_literals(rules.CONTENT_RE)
+    assert "阳台" in lits  # the selective literal that makes the guard pay
+
+
+def test_quantified_and_grouped_chars_excluded():
+    assert required_literals(r"abX?cd") == ["ab", "cd"]  # 'X' optional
+    assert required_literals(r"abc(xy)?z") == ["abc"]  # group content skipped
+    assert required_literals(r"foo|bar") == []  # alternation -> no guards
+    assert required_literals(r"colou?r") == ["colo"]

@@ -52,7 +52,9 @@ def test_dedup_candidates_exact(spark):
     seen_df = spark.createDataFrame([(k,) for k in range(0, 100, 2)], "url_hash long")
     cand = spark.createDataFrame([(k, f"u{k}") for k in range(100)], "url_hash long, url string")
     for use_bloom in (False, True):
-        out = dedup_candidates(cand, seen_df, seen_count=50, use_bloom=use_bloom)
+        out = dedup_candidates(
+            cand, seen_df, seen_count=50, use_bloom=use_bloom, min_seen=1
+        )
         keys = sorted(r.url_hash for r in out.collect())
         assert keys == list(range(1, 100, 2)), use_bloom
 
