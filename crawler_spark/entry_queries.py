@@ -17,8 +17,8 @@ Mapping to SURVEY.md §2 operator inventory:
   per_source_agg     per-host metrics aggregation (K1 routing shape)
 plus training-data ops: text_quality, lang_id, fingerprint, dedup_exact,
 dedup_ngram_jaccard, dedup_minhash_lsh, multimodal_decode (+
-queries-only: simhash_pairs, ann_lsh_topk, winnow_fingerprints,
-frame_sample).
+queries-only: simhash_pairs, ann_lsh_topk, ann_ivf_topk,
+winnow_fingerprints, frame_sample).
 """
 
 from __future__ import annotations
@@ -256,6 +256,13 @@ def q_ann_lsh_topk(spark, sf_dir):  # queries-only (numpy hyperplanes)
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):  # queries-only (trained quantizer)
+    qv = _query_vec(spark, sf_dir)
+    return similarity.ann_topk_ivf(_emb(spark, sf_dir), qv, k=10, exclude_id=0).select(
+        "vec_id"
+    )
+
+
 def q_cosine_neardup(spark, sf_dir):
     return similarity.cosine_neardup_pairs_exact(
         _emb(spark, sf_dir), threshold_micro=400_000
@@ -282,6 +289,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "cosine_neardup": q_cosine_neardup,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,

@@ -89,6 +89,74 @@ def ann_topk_lsh(
     return brute_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def ivf_assign_col(vec_col: str, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id (cosine) via Arrow-batched matmul."""
+    C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return assign(F.col(vec_col))
+
+
+def ivf_train(
+    emb: DataFrame, n_centroids: int = 16, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer: deterministic hash-ranked init + Lloyd steps.
+
+    Each iteration is one assignment pass (pandas-UDF matmul) and one
+    per-cluster mean (posexplode -> groupBy(cluster, pos) avg — a plain
+    shuffle-agg, so training scales with the corpus); centroids stay
+    driver-side (n_centroids x dim, tiny)."""
+    init = (
+        emb.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
+        .orderBy("h").limit(n_centroids).collect()
+    )
+    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+    for _ in range(n_iter):
+        assigned = emb.select(
+            ivf_assign_col(vec_col, C).alias("c"), F.col(vec_col).alias("v")
+        )
+        means = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        C = C.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r.c, {})[r.pos] = r.m
+        for c, poss in by_c.items():
+            C[c] = np.array([poss[p] for p in sorted(poss)])
+    return C
+
+
+def ann_topk_ivf(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 16, n_probe: int = 4, n_iter: int = 2,
+    seed: int = 42, exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF ANN: score only vectors in the query's n_probe nearest
+    cells.  At scale the cell id is the partition/bucket key, so a probe
+    reads n_probe/n_centroids of the corpus instead of scanning it; the
+    brute-force pass inside the probed cells is the same JVM kernel as
+    the exact baseline."""
+    C = ivf_train(emb, n_centroids, n_iter, id_col, vec_col, seed)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
+    cells = emb.withColumn("_cell", ivf_assign_col(vec_col, C)).where(
+        F.col("_cell").isin(probe)
+    )
+    return brute_topk(cells, query_vec, k, id_col, vec_col, exclude_id)
+
+
 def cosine_neardup_pairs_lsh(
     emb: DataFrame, dim: int, threshold_micro: int = 900_000,
     id_col: str = "vec_id", vec_col: str = "embedding",
