@@ -422,7 +422,8 @@ ORACLES = {
         from documents
     """,
     "per_source_agg": """
-        select source, count(*) as n_docs, sum(n_chars) as sum_chars,
+        select source, count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as sum_chars,
                max(n_chars) as max_chars, min(n_chars) as min_chars
         from documents group by source
     """,

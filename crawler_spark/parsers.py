@@ -106,8 +106,19 @@ def required_literals(pattern: str, min_len: int = 2) -> list[str]:
             depth -= 1
             i += 1
             continue
+        if ch == "{":
+            # counted quantifier {n}/{n,m}: the preceding char may repeat
+            # 0+ times -> not required; the digits/comma body is quantifier
+            # syntax, NOT literal text (a 'foo.{0,50}bar' guard must never
+            # require '0,50' in the page)
+            if cur:
+                cur.pop()
+            flush()
+            j = pattern.find("}", i + 1)
+            i = len(pattern) if j == -1 else j + 1
+            continue
         if ch in _META:
-            if ch in "?*{" and cur:
+            if ch in "?*" and cur:
                 cur.pop()  # preceding char is quantified -> not required
             flush()
             i += 1

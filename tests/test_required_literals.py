@@ -48,3 +48,21 @@ def test_quantified_and_grouped_chars_excluded():
     assert required_literals(r"abc(xy)?z") == ["abc"]  # group content skipped
     assert required_literals(r"foo|bar") == []  # alternation -> no guards
     assert required_literals(r"colou?r") == ["colo"]
+
+
+def test_counted_quantifier_body_is_not_a_literal():
+    # user patterns via dynamic_task / --tasks-json hit {n,m}; the body
+    # digits must never become a required literal, and the quantified
+    # preceding char must be dropped
+    assert required_literals(r"a.{0,50}bc") == ["bc"]
+    assert required_literals(r"foo.{0,50}bar") == ["foo", "bar"]
+    assert required_literals(r"abX{2}cd") == ["ab", "cd"]
+    assert required_literals(r"abX{2,}cd") == ["ab", "cd"]
+    for pat, example in [
+        (r"foo.{0,50}bar", "foo" + "z" * 17 + "bar"),
+        (r"abc{1,3}de", "abcccde"),
+    ]:
+        m = re.search(pat, example)
+        assert m
+        for lit in required_literals(pat):
+            assert lit in example, f"{lit!r} not in example for {pat}"
