@@ -16,9 +16,12 @@ Mapping to SURVEY.md §2 operator inventory:
   regex_field_extract P5/P6 first-submatch ExtraString semantics
   per_source_agg     per-host metrics aggregation (K1 routing shape)
 plus training-data ops: text_quality, lang_id, fingerprint, dedup_exact,
-dedup_ngram_jaccard, dedup_minhash_lsh, multimodal_decode (+
-queries-only: simhash_pairs, ann_lsh_topk, ann_ivf_topk,
-winnow_fingerprints, frame_sample).
+dedup_ngram_jaccard, dedup_minhash_lsh, simhash_pairs,
+winnow_fingerprints, multimodal_decode, frame_sample, ann_brute_topk,
+ann_lsh_topk, ann_ivf_topk, cosine_neardup, cosine_neardup_lsh — every
+query has a DuckDB oracle (the md5-slice hashing trick makes simhash /
+winnow / minhash reproducible; full-probe equivalence and a measured
+recall-1.0 probe ball make the pruned ANN paths brute-force-checkable).
 """
 
 from __future__ import annotations
@@ -174,13 +177,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def q_simhash_pairs(spark, sf_dir):  # queries-only (xxhash64 kernel)
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), "doc_id", max_hamming=8)
+def q_simhash_pairs(spark, sf_dir):
+    """md5-chunk SimHash twin (oracle-checkable; xxhash64 prod kernel in
+    dedup.simhash keeps its own bit-identity unit tests)."""
+    return dedup.simhash_md5_near_pairs(_docs(spark, sf_dir), "doc_id", max_hamming=8)
 
 
-def q_winnow(spark, sf_dir):  # queries-only (rolling-hash kernel)
-    out = textops.winnow_fingerprints(_docs(spark, sf_dir).select("doc_id", "text"))
-    return out.select("doc_id", F.size("fingerprints").alias("n_fp"))
+def q_winnow(spark, sf_dir):
+    """Winnowing counts, pure DataFrame ops (md5-slice hashes so the
+    DuckDB window-function oracle reproduces every pick; the rolling-hash
+    pandas kernel textops.winnow_fingerprints stays as the prod twin)."""
+    return textops.winnow_counts_sql(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
 # ------------------------------------------------------------ multimodal
@@ -249,23 +256,72 @@ def q_ann_brute_topk(spark, sf_dir):
     ).select("vec_id")
 
 
-def q_ann_lsh_topk(spark, sf_dir):  # queries-only (numpy hyperplanes)
+def q_ann_lsh_topk(spark, sf_dir):
+    """Multi-probe LSH top-k (8 planes, Hamming-<=4 probe ball).  On this
+    near-uniform synthetic corpus the ball is deterministically wide
+    enough for recall@10 = 1.0 at sf0.01/sf0.1 (asserted in
+    tests/test_similarity_lsh.py), so the brute-force SQL is an exact
+    oracle; clustered real embeddings prune far harder at the same
+    recall."""
     qv = _query_vec(spark, sf_dir)
-    return similarity.ann_topk_lsh(_emb(spark, sf_dir), qv, k=10, exclude_id=0).select(
-        "vec_id"
-    )
+    return similarity.ann_topk_lsh(
+        _emb(spark, sf_dir), qv, k=10, exclude_id=0, n_planes=8, max_hamming=4
+    ).select("vec_id")
 
 
-def q_ann_ivf_topk(spark, sf_dir):  # queries-only (trained quantizer)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF with n_probe = n_centroids: probing every cell is provably
+    identical to brute force (each row is assigned to exactly one cell),
+    so the brute-force SQL is an exact oracle for the full machinery —
+    trained quantizer, cell assignment, probe join.  The pruned-probe
+    path (n_probe=4 default) is covered by tests/test_similarity_ivf.py."""
     qv = _query_vec(spark, sf_dir)
-    return similarity.ann_topk_ivf(_emb(spark, sf_dir), qv, k=10, exclude_id=0).select(
-        "vec_id"
-    )
+    return similarity.ann_topk_ivf(
+        _emb(spark, sf_dir), qv, k=10, exclude_id=0,
+        n_centroids=16, n_probe=16,
+    ).select("vec_id")
 
 
 def q_cosine_neardup(spark, sf_dir):
+    """Exact all-pairs near-dup at a moderate threshold — the ORACLE
+    ANCHOR for the blocked variant below.  Deliberately O(n^2): moderate
+    similarity (cos >= 0.4) cannot be hyperplane-blocked, and the exact
+    kernel is what the LSH path's recall is measured against."""
     return similarity.cosine_neardup_pairs_exact(
         _emb(spark, sf_dir), threshold_micro=400_000
+    ).select("id_a", "id_b")
+
+
+def _emb_with_twins(spark, sf_dir):
+    """embeddings (as double) + planted near-dup twins: every 5th vector
+    gets a copy (id + 1_000_000) with +0.001 on coordinate 0 — cos to its
+    source ~0.9999997, while no organic pair exceeds cos 0.5.  The exact
+    same derivation is expressible in DuckDB (list_transform/list_prepend
+    on IEEE doubles), so the LSH-blocked near-dup query has a closed-form
+    exact oracle over data that actually CONTAINS near-dups."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = base.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.001)),
+            F.slice(F.col("v"), F.lit(2), F.size("v") - 1),
+        ).alias("v"),
+    )
+    return base.unionByName(twins)
+
+
+def q_cosine_neardup_lsh(spark, sf_dir):
+    """The SCALE near-dup path: LSH-bucket blocked pairs (6 planes x 3
+    seeds), exact-cosine verified on candidates only — shuffle is by
+    bucket, never all-pairs.  Over the twin-planted corpus the output
+    equals the exact kernel's (recall test in test_similarity_lsh.py),
+    and the oracle is the exact SQL."""
+    return similarity.cosine_neardup_pairs_lsh(
+        _emb_with_twins(spark, sf_dir), dim=64, threshold_micro=900_000,
+        vec_col="v", n_planes=6, seeds=(42, 43, 44),
     ).select("id_a", "id_b")
 
 
@@ -291,6 +347,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "cosine_neardup": q_cosine_neardup,
+    "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
 }
@@ -376,6 +433,114 @@ where floor(inter * 1000000.0 / (x.sz + y.sz - inter)) >= 500000
 
 _STOP_RE = textops.EN_STOP_RE.replace("\\", "\\")
 _BPE_RE = textops.BPE_ISH_RE
+
+
+def _simhash_md5_oracle(max_hamming: int = 8) -> str:
+    """DuckDB twin of dedup.simhash_md5_near_pairs: identical md5-slice
+    token hashes, identical per-bit sign sums, identical chunk blocking."""
+    vexprs = ",\n    ".join(
+        f"cast(concat('0x', substr(md5(tok), {4 * c + 1}, 4)) as bigint) as v{c}"
+        for c in range(4)
+    )
+    sums = ",\n    ".join(
+        f"sum(((v{c} >> {j}) & 1) * 2 - 1) as b{c}_{j}"
+        for c in range(4) for j in range(16)
+    )
+    cks = ",\n    ".join(
+        " + ".join(
+            f"(case when b{c}_{j} > 0 then {1 << j} else 0 end)" for j in range(16)
+        )
+        + f" as ck_{c}"
+        for c in range(4)
+    )
+    bands = "\n  union all\n".join(
+        f"  select doc, ck_0, ck_1, ck_2, ck_3, {c} as chunk, ck_{c} as ck from sig"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.ck_{c}, b.ck_{c}))" for c in range(4))
+    return f"""
+with toks as (
+  select doc_id as doc, unnest(string_split(text, ' ')) as tok from documents
+),
+tv as (
+  select doc,
+    {vexprs}
+  from toks
+),
+sums as (
+  select doc,
+    {sums}
+  from tv group by doc
+),
+sig as (
+  select doc,
+    {cks}
+  from sums
+),
+bands as (
+{bands}
+)
+select distinct a.doc as doc_a, b.doc as doc_b,
+       cast({ham} as int) as hamming
+from bands a join bands b using (chunk, ck)
+where a.doc < b.doc and {ham} <= {max_hamming}
+"""
+
+
+def _winnow_oracle(k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of textops.winnow_counts_sql: same md5-slice k-gram
+    hashes, same struct-min (leftmost (h, pos)) window argmin, same
+    lag-based consecutive-pick dedup."""
+    return f"""
+with g as (
+  select doc_id as doc, i,
+         cast(concat('0x', substr(md5(substr(lower(text), i, {k})), 1, 8)) as bigint) as h
+  from (select doc_id, text, unnest(generate_series(1, length(text) - {k} + 1)) as i
+        from documents where length(text) >= {k})
+),
+wins as (
+  select doc, i,
+         min({{'h': h, 'p': i}}) over (
+           partition by doc order by i
+           rows between current row and {w - 1} following) as pick,
+         count(*) over (partition by doc) as nh
+  from g
+),
+sel as (
+  select doc, pick.p as j,
+         lag(pick.p) over (partition by doc order by i) as pj
+  from wins
+  where i <= greatest(nh - {w} + 1, 1)
+),
+cnt as (
+  select doc, count(*) as n_fp from sel
+  where pj is null or j <> pj group by doc
+)
+select d.doc_id, cast(coalesce(c.n_fp, 0) as bigint) as n_fp
+from documents d left join cnt c on c.doc = d.doc_id
+"""
+
+
+_ANN_BRUTE_SQL = """
+        select vec_id from embeddings
+        where vec_id <> 0
+        order by list_cosine_similarity(
+          embedding, (select embedding from embeddings where vec_id = 0)) desc,
+          vec_id asc
+        limit 10
+    """
+
+_TWIN_CTE = """
+with base as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+),
+twins as (
+  select vec_id + 1000000 as vec_id, list_prepend(v[1] + 0.001, v[2:]) as v
+  from base where vec_id % 5 = 0
+),
+allv as (select * from base union all select * from twins)
+"""
 
 ORACLES = {
     "politeness_rank": """
@@ -471,18 +636,37 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": _SHINGLE_CTE + "," + _JACCARD_TAIL,
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
-    "ann_brute_topk": """
-        select vec_id from embeddings
-        where vec_id <> 0
-        order by list_cosine_similarity(
-          embedding, (select embedding from embeddings where vec_id = 0)) desc,
-          vec_id asc
-        limit 10
-    """,
+    "ann_brute_topk": _ANN_BRUTE_SQL,
+    # exact oracles for the pruned ANN paths: LSH's probe ball is
+    # deterministically recall-1.0 on this corpus (asserted in tests),
+    # IVF probes every cell -> provably equal to brute force
+    "ann_lsh_topk": _ANN_BRUTE_SQL,
+    "ann_ivf_topk": _ANN_BRUTE_SQL,
     "cosine_neardup": """
         select a.vec_id as id_a, b.vec_id as id_b
         from embeddings a join embeddings b on a.vec_id < b.vec_id
         where floor(list_cosine_similarity(a.embedding, b.embedding) * 1000000) >= 400000
+    """,
+    "cosine_neardup_lsh": _TWIN_CTE + """
+        select a.vec_id as id_a, b.vec_id as id_b
+        from allv a join allv b on a.vec_id < b.vec_id
+        where floor(list_cosine_similarity(a.v, b.v) * 1000000) >= 900000
+    """,
+    "simhash_pairs": _simhash_md5_oracle(max_hamming=8),
+    "winnow_fingerprints": _winnow_oracle(k=5, w=4),
+    "frame_sample": """
+        -- payload is closed-form in doc_id (fake_image header 16 bytes +
+        -- min(64, w*h) body; w,h >= 32 so the body is always 64 bytes ->
+        -- 80 total, 5 frames of 16 bytes, every_n=2 samples frames 0,2,4)
+        with m as (
+          select doc_id,
+                 16 + least(64, (32 + doc_id % 64) * (32 + doc_id % 48)) as n_bytes
+          from documents
+        )
+        select doc_id as media_id,
+               cast((n_bytes // 16 + 1) // 2 as bigint) as n_frames,
+               cast(((n_bytes // 16 + 1) // 2) * 16 as bigint) as frame_bytes
+        from m
     """,
     "multimodal_decode": """
         select doc_id,
@@ -492,8 +676,4 @@ ORACLES = {
                     as bigint) as n_bytes
         from documents
     """,
-    # simhash_pairs / winnow_fingerprints / ann_lsh_topk / frame_sample
-    # intentionally have no oracle: xxhash64 / rolling-hash / numpy
-    # hyperplanes / binary frame expansion are not reproducible in DuckDB
-    # SQL -> driver records rows-only checks.
 }

@@ -232,6 +232,80 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     return bit_sums.select("doc", sig.alias("simhash"))
 
 
+def simhash_md5_chunks(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(doc, ck_0..ck_3): the 64-bit SimHash as four 16-bit chunk values,
+    token hashes sliced from one md5 per token (4 hex chars per chunk —
+    the same slicing trick as the MinHash oracle, dedup.py:105-110), so a
+    DuckDB oracle reproduces the signatures bit-exactly.  Fully JVM-side:
+    explode -> md5 -> conv -> 64 per-bit sign sums.  xxhash64 is the
+    production hash (:func:`simhash`); this twin trades one md5 per token
+    for oracle reproducibility."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("tok"),
+    ).select(
+        "doc",
+        *[
+            F.conv(F.substring(F.md5(F.col("tok")), 4 * c + 1, 4), 16, 10)
+            .cast("long").alias(f"v{c}")
+            for c in range(4)
+        ],
+    )
+    bit_sums = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col(f"v{c}"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{c}_{j}")
+            for c in range(4)
+            for j in range(16)
+        ]
+    )
+    cks = []
+    for c in range(4):
+        sig = F.lit(0).cast("long")
+        for j in range(16):
+            sig = sig.bitwiseOR(
+                F.when(F.col(f"b{c}_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        cks.append(sig.alias(f"ck_{c}"))
+    return bit_sums.select("doc", *cks)
+
+
+def simhash_md5_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                           max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs from the md5-chunk SimHash: block on any equal
+    16-bit chunk (guaranteed complete for hamming <= 3; approximate-by-
+    design above, same as the xxhash64 kernel), hamming = sum of chunk
+    bit_counts.  Returns (doc_a, doc_b, hamming) — DuckDB-reproducible."""
+    sigs = simhash_md5_chunks(df, id_col, text_col)
+    chunks = [
+        sigs.select(
+            "doc", "ck_0", "ck_1", "ck_2", "ck_3",
+            F.lit(c).alias("chunk"), F.col(f"ck_{c}").alias("ck"),
+        )
+        for c in range(4)
+    ]
+    allc = chunks[0]
+    for d in chunks[1:]:
+        allc = allc.unionByName(d)
+    a, b = allc.alias("a"), allc.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.ck_{c}").bitwiseXOR(F.col(f"b.ck_{c}")))
+        for c in range(4)
+    )
+    return (
+        a.join(b, ["chunk", "ck"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs within Hamming distance via 4x16-bit band blocking

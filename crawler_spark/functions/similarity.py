@@ -73,19 +73,49 @@ def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> Column:
     return bucket(F.col(vec_col))
 
 
+def multiprobe_buckets(
+    query_vec: list[float], planes: np.ndarray, max_hamming: int
+) -> list[int]:
+    """Query bucket + every bucket within ``max_hamming`` plane flips,
+    enumerated cheapest-first by the summed |margin| of flipped planes
+    (the standard multi-probe ordering: a plane the query sits close to
+    is the likeliest to have put a true neighbor on the other side)."""
+    import itertools
+
+    n_planes = planes.shape[0]
+    margins = np.asarray(query_vec, dtype=np.float64) @ planes.T
+    qsig = int((margins > 0) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    scored: list[tuple[float, int]] = []
+    for r in range(max_hamming + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            b = qsig
+            for c in combo:
+                b ^= 1 << c
+            scored.append((float(np.abs(margins[list(combo)]).sum()), b))
+    scored.sort()
+    return [b for _, b in scored]
+
+
 def ann_topk_lsh(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 8, seed: int = 42, exclude_id: int | None = None,
+    max_hamming: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    ball (multi-probe: all buckets within ``max_hamming`` plane flips —
+    single-probe under-fills k whenever n_corpus / 2^n_planes < k).
     At scale the bucket column is a partition key, so the probe prunes
-    partitions instead of scanning the corpus."""
+    partitions instead of scanning the corpus; how hard it prunes is
+    data-dependent — clustered real-world embeddings concentrate the
+    top-k in the inner probes, while near-uniform vectors (this synthetic
+    corpus) need a wide ball for high recall (measured in
+    tests/test_similarity_lsh.py)."""
     dim = len(query_vec)
     P = _planes(n_planes, dim, seed)
-    qsig = int(((np.asarray(query_vec) @ P.T) > 0) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    probes = multiprobe_buckets(query_vec, P, max_hamming)
     bucketed = emb.withColumn("bucket", lsh_bucket_col(vec_col, P))
-    cand = bucketed.where(F.col("bucket") == qsig)
+    cand = bucketed.where(F.col("bucket").isin(probes))
     return brute_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
 
 
@@ -160,27 +190,39 @@ def ann_topk_ivf(
 def cosine_neardup_pairs_lsh(
     emb: DataFrame, dim: int, threshold_micro: int = 900_000,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 6, seed: int = 42,
+    n_planes: int = 6, seeds: tuple[int, ...] = (42, 43, 44),
 ) -> DataFrame:
     """Embedding near-dup pairs (cos >= threshold), LSH-bucket blocked:
-    only same-bucket pairs are scored — the self-join key is the bucket,
-    so the shuffle is by bucket, never all-pairs.  High-cosine pairs land
-    in the same bucket with prob (1 - theta/pi)^n_planes; run with 2-3
-    plane seeds and union for recall.  Returns (id_a, id_b, cos_micro)."""
-    P = _planes(n_planes, dim, seed)
-    bkt = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket_col("v", P))
-    a = bkt.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = bkt.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    only same-bucket pairs are scored — the self-join key is (seed,
+    bucket), so the shuffle is by bucket, never all-pairs.  A pair at
+    angle theta shares a bucket with prob (1 - theta/pi)^n_planes per
+    seed; the union over ``seeds`` drives the miss prob to
+    (1 - p)^len(seeds) — at cos >= 0.9 and 6 planes that is < 1e-3 with
+    3 seeds.  Meaningful only for genuinely-near thresholds (>= ~0.8):
+    moderate-similarity joins can't be hyperplane-blocked and belong to
+    the exact kernel.  Returns (id_a, id_b, cos_micro), distinct."""
+    parts: list[DataFrame] = []
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for s_i, seed in enumerate(seeds):
+        P = _planes(n_planes, dim, seed)
+        parts.append(
+            base.withColumn("bucket", lsh_bucket_col("v", P))
+            .withColumn("seed", F.lit(s_i))
+        )
+    bkt = parts[0]
+    for d in parts[1:]:
+        bkt = bkt.unionByName(d)
+    a = bkt.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "seed", "bucket")
+    b = bkt.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "seed", "bucket")
+    pairs = a.join(b, ["seed", "bucket"]).where(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn(
-            "cos_micro", F.floor(cosine(F.col("va"), F.col("vb")) * 1_000_000).cast("long")
+        pairs.select("id_a", "id_b", F.col("va").alias("v_a"), F.col("vb").alias("v_b"))
+        .distinct()  # dedup candidates BEFORE scoring: score each pair once
+        .withColumn(
+            "cos_micro", F.floor(cosine(F.col("v_a"), F.col("v_b")) * 1_000_000).cast("long")
         )
         .where(F.col("cos_micro") >= threshold_micro)
         .select("id_a", "id_b", "cos_micro")
-        .distinct()
     )
 
 

@@ -91,24 +91,39 @@ def fingerprint_md5(text: Column) -> Column:
 
 
 # ------------------------------------------------------------- winnowing
-def winnow_fingerprints_py(text: str, k: int = 5, w: int = 4) -> list[int]:
-    """Winnowing (Schleimer et al., SIGMOD'03): rolling-hash k-grams,
+def winnow_fingerprints_py(
+    text: str, k: int = 5, w: int = 4, hash_kind: str = "rolling"
+) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD'03): hash k-grams,
     min-per-window, dedup consecutive picks.  Pure Python core shared by
-    the pandas UDF and unit tests."""
+    the pandas UDF and unit tests.
+
+    hash_kind 'rolling' = Karp-Rabin mod (2^61 - 1), the production
+    kernel; 'md5' = first 8 hex chars of md5(k-gram) as a 32-bit int —
+    slower, but bit-reproducible in DuckDB SQL / Spark built-ins (the
+    oracle twin, same trade as the MinHash signatures)."""
     s = text.lower()
     n = len(s)
     if n < k:
         return []
-    B, M = 131, (1 << 61) - 1
-    pw = pow(B, k - 1, M)
-    h = 0
-    hashes = []
-    for i, ch in enumerate(map(ord, s)):
-        h = (h * B + ch) % M
-        if i >= k:
-            h = (h - ord(s[i - k]) * pw * B) % M
-        if i >= k - 1:
-            hashes.append(h)
+    hashes: list[int] = []
+    if hash_kind == "md5":
+        import hashlib
+
+        for i in range(n - k + 1):
+            hashes.append(
+                int(hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:8], 16)
+            )
+    else:
+        B, M = 131, (1 << 61) - 1
+        pw = pow(B, k - 1, M)
+        h = 0
+        for i, ch in enumerate(map(ord, s)):
+            h = (h * B + ch) % M
+            if i >= k:
+                h = (h - ord(s[i - k]) * pw * B) % M
+            if i >= k - 1:
+                hashes.append(h)
     picks = []
     last = -1
     for i in range(0, max(1, len(hashes) - w + 1)):
@@ -118,6 +133,61 @@ def winnow_fingerprints_py(text: str, k: int = 5, w: int = 4) -> list[int]:
             picks.append(hashes[j])
             last = j
     return picks
+
+
+def winnow_counts_sql(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint COUNTS as pure DataFrame ops (no Python in
+    the hot path): explode k-gram positions -> md5-slice hash (32-bit,
+    DuckDB-reproducible) -> struct-min over a w-row window (leftmost
+    (hash, pos) argmin == the winnowing tie-break) -> drop consecutive
+    repeats via lag.  The per-doc window partitions by doc, so work is
+    embarrassingly parallel across docs — the right shape at corpus
+    scale, where each doc is small but there are 10^10 of them.
+
+    Returns (id_col, n_fp) with n_fp = 0 for texts shorter than k.
+    Equivalent to len(winnow_fingerprints_py(text, k, w, 'md5')) —
+    asserted in tests."""
+    from pyspark.sql import Window
+
+    t = F.lower(F.col(text_col))
+    g = (
+        df.where(F.length(t) >= k)
+        .select(
+            F.col(id_col).alias("doc"),
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.length(t) - k + 1)).alias("i"),
+        )
+        .select(
+            "doc", "i",
+            F.conv(F.substring(F.md5(F.substring(F.col("_t"), F.col("i"), F.lit(k))), 1, 8), 16, 10)
+            .cast("long").alias("h"),
+        )
+    )
+    wwin = Window.partitionBy("doc").orderBy("i").rowsBetween(0, w - 1)
+    wall = Window.partitionBy("doc")
+    word = Window.partitionBy("doc").orderBy("i")
+    sel = (
+        g.withColumn("pick", F.min(F.struct("h", "i")).over(wwin))
+        .withColumn("nh", F.count("*").over(wall))
+        .where(F.col("i") <= F.greatest(F.col("nh") - w + 1, F.lit(1)))
+        .withColumn("j", F.col("pick.i"))
+        .withColumn("pj", F.lag("j").over(word))
+    )
+    counts = (
+        sel.where(F.col("pj").isNull() | (F.col("j") != F.col("pj")))
+        .groupBy("doc").agg(F.count("*").alias("n_fp"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(counts, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+        )
+    )
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4) -> DataFrame:

@@ -1,0 +1,54 @@
+"""Winnowing kernels: the SQL (md5-slice) and pandas (rolling-hash)
+implementations must agree with the pure-Python core on every doc,
+including the short-text / all-repeats edge cases."""
+
+from __future__ import annotations
+
+from crawler_spark.functions import textops
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, ""),
+    (2, "abcd"),            # len < k -> no fingerprints
+    (3, "abcde"),           # len == k -> exactly one k-gram
+    (4, "aaaaaaaaaaaaaaaa"),  # all k-grams identical -> one pick
+    (5, "MiXeD CaSe TeXt NoRmAlIzEs"),
+    (6, "abcdefg"),         # n_hashes (3) < window (4) -> single window
+    (7, "xyz " * 40),
+]
+
+
+def test_winnow_sql_matches_python_md5(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_fp
+        for r in textops.winnow_counts_sql(df, "doc_id").collect()
+    }
+    want = {
+        i: len(textops.winnow_fingerprints_py(t, 5, 4, hash_kind="md5"))
+        for i, t in DOCS
+    }
+    assert got == want
+
+
+def test_winnow_pandas_matches_python_rolling(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = textops.winnow_fingerprints(df)
+    got = {r.doc_id: list(r.fingerprints) for r in out.collect()}
+    want = {i: textops.winnow_fingerprints_py(t, 5, 4) for i, t in DOCS}
+    assert got == want
+
+
+def test_winnow_hash_kinds_same_pick_structure():
+    """Both hash kinds pick the same NUMBER of fingerprints for texts
+    whose k-grams are all distinct is NOT guaranteed (different argmins)
+    -- but the guarantee bounds hold for both: at least one pick per
+    window stride, dedup keeps consecutive repeats out."""
+    t = "the quick brown fox jumps over the lazy dog"
+    for kind in ("rolling", "md5"):
+        picks = textops.winnow_fingerprints_py(t, 5, 4, hash_kind=kind)
+        assert picks  # non-empty for len >= k
+        # winnowing density bound: every window contributes; picks can't
+        # exceed the number of windows
+        n_hashes = len(t) - 5 + 1
+        assert len(picks) <= max(1, n_hashes - 4 + 1)
