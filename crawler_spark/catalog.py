@@ -57,6 +57,7 @@ class Catalog:
             return json.load(f)
 
     def _commit(self, table: str, manifest: list[dict]) -> None:
+        os.makedirs(self._table_dir(table), exist_ok=True)
         path = self._manifest_path(table)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -79,7 +80,8 @@ class Catalog:
         return self.write_counted(df, table, mode)[0]
 
     def write_counted(
-        self, df: DataFrame, table: str, mode: str = "append"
+        self, df: DataFrame, table: str, mode: str = "append",
+        skip_empty: bool = False,
     ) -> tuple[int, int]:
         """Commit ``df``; returns (snapshot_id, row_count).
 
@@ -87,6 +89,11 @@ class Catalog:
         metadata reads, no Spark job) — the engine uses it instead of
         separate ``.count()`` actions, halving the per-round job count.
         Iceberg gives the same number for free in its snapshot summary.
+
+        ``skip_empty``: a 0-row append is discarded instead of committed
+        (returns the current snapshot id) — long crawls would otherwise
+        accrue one empty snapshot dir per table per round, growing both
+        the manifest and the directory set every read unions.
         """
         assert mode in ("append", "overwrite"), mode
         manifest = self._load_manifest(table)
@@ -95,6 +102,9 @@ class Catalog:
         out_dir = os.path.join(self._table_dir(table), rel)
         df.write.mode("overwrite").parquet(out_dir)
         rows = self._dir_rows(out_dir)
+        if skip_empty and rows == 0 and mode == "append":
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return (manifest[-1]["id"] if manifest else 0), 0
         manifest.append({"id": snap_id, "mode": mode, "dir": rel, "rows": rows})
         self._commit(table, manifest)
         return snap_id, rows

@@ -282,8 +282,43 @@ def generate_pages(
     return out
 
 
+def with_gbk_reencoding(df: DataFrame) -> DataFrame:
+    """Re-encode a deterministic subset of topic/detail pages as GBK with
+    a ``<meta charset="GBK">`` declaration in the first 1 KiB — the P11
+    charset-sniff exercise (douban's historical encoding; reference
+    transcodes via DeterminEncoding, collect.go:93-101).  The golden
+    ``text`` column is unchanged: a correct sniff+decode recovers the
+    identical character stream, so the byte-identical invariant holds iff
+    P11 works.  Runs as one Arrow-batched pass (mapInPandas) — Python
+    codecs are the only GBK encoder available (Spark's F.encode charset
+    list excludes it)."""
+    from .urlnorm import xxhash64_py
+
+    schema = df.schema
+
+    def run(batches):
+        import pandas as pd  # noqa: F401
+
+        for pdf in batches:
+            out = []
+            for url, kind, hb in zip(pdf["url"], pdf["kind"], pdf["html"]):
+                raw = bytes(hb)
+                if kind in ("topic", "detail") and xxhash64_py(
+                    (url + "|gbk").encode("utf-8")
+                ) % 4 == 1:
+                    s = raw.decode("utf-8")
+                    raw = ('<meta charset="GBK">' + s).encode("gbk")
+                out.append(raw)
+            pdf = pdf.copy()
+            pdf["html"] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def write_corpus(
-    spark: SparkSession, path: str, n_hosts: int = 8, n_filler: int = 0
+    spark: SparkSession, path: str, n_hosts: int = 8, n_filler: int = 0,
+    gbk: bool = False,
 ) -> None:
     """Write the corpus hash-distributed by url across all files.
 
@@ -293,6 +328,9 @@ def write_corpus(
     on ~1/4 of the cores (measured).  Real WARC archives interleave page
     types, and the same lesson holds at 100 TB: keep per-file work
     uniform, or the scan's critical path is the skewed file."""
-    df = generate_pages(spark, n_hosts, n_filler).drop("kind")
+    df = generate_pages(spark, n_hosts, n_filler)
+    if gbk:
+        df = with_gbk_reencoding(df)
+    df = df.drop("kind")
     p = spark.sparkContext.defaultParallelism
     df.repartition(p, F.col("url")).write.mode("overwrite").parquet(path)

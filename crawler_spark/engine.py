@@ -86,8 +86,26 @@ class CrawlConfig:
     # below this seen-set size the bloom build costs more than the exact
     # anti-join it saves; production target is ~10^8+ per host-bucket
     bloom_min_seen: int = 1024
+    # seen-set pre-filter backend: None -> 'bloom' if use_bloom else
+    # 'none'.  'cuckoo' = one long-lived incremental filter maintained
+    # across rounds (supports delete-on-failure, crawler.go:180-185)
+    # instead of a per-round bloom rebuild.
+    seen_filter: str | None = None
+    # P11: sniff charset (BOM + meta prescan, first 1 KiB) per page and
+    # transcode, instead of assuming the corpus is UTF-8
+    charset_sniff: bool = False
+    # fetch-join build-side gate: broadcast the scheduled set only while
+    # its row count stays under this; beyond it (10^7-host crawls with
+    # big budgets) fall back to a shuffle join and let AQE/statistics
+    # pick the strategy — never force-broadcast an unbounded build side
+    broadcast_max_rows: int = 4_000_000
     max_rounds: int = 64
     collect_metrics: bool = True
+
+    def filter_kind(self) -> str:
+        if self.seen_filter is not None:
+            return self.seen_filter
+        return "bloom" if self.use_bloom else "none"
 
 
 # ------------------------------------------------------------------ state
@@ -137,6 +155,58 @@ def _max_depth_col(tasks: dict[str, Task]) -> F.Column:
     return F.element_at(F.create_map(*kv), F.col("task_name"))
 
 
+def _reload_col(tasks: dict[str, Task]) -> F.Column:
+    """Task.Reload as a per-row flag (crawler.go:85: reload tasks skip
+    the visited check entirely)."""
+    kv = []
+    for name, t in tasks.items():
+        kv += [F.lit(name), F.lit(bool(t.reload))]
+    return F.element_at(F.create_map(*kv), F.col("task_name"))
+
+
+class CuckooSeen:
+    """Long-lived incremental seen pre-filter (seen_filter='cuckoo').
+
+    Mirrors the reference's mark-before-fetch / un-mark-on-failure
+    protocol (crawler.go:92,180-185): every *scheduled* key is inserted
+    at schedule time; failed non-reload keys are deleted after the round.
+    Deletion only ever removes keys previously inserted — the condition
+    under which cuckoo deletes are safe.  Exactness never depends on the
+    filter (the exact anti-join confirms every 'maybe'); an insert
+    overflow triggers a doubled rebuild from the seen table so the filter
+    can't silently develop false negatives.
+
+    Driver-side by design at this scale: the filter is a few bytes per
+    key over *scheduled* rows (budget-bounded per round).  At 10^10 URLs
+    production shards this by Iceberg host-bucket exactly like the bloom
+    (seen.py module notes), one filter shard per bucket.
+    """
+
+    def __init__(self, capacity: int = 1 << 16):
+        from .seen import Cuckoo
+
+        self.filter = Cuckoo.sized(max(capacity, 1024))
+        self.inserted = 0
+
+    def add_keys(self, keys, cat, spark, rebuild_from: str | None = "seen") -> None:
+        from .seen import Cuckoo
+
+        ok = self.filter.add_many(keys)
+        self.inserted += len(keys)
+        if ok < len(keys):  # overflow: rebuild at double capacity
+            self.filter = Cuckoo.sized(max(self.inserted * 2, 1024))
+            if rebuild_from and cat.exists(rebuild_from):
+                redo = [
+                    r.url_hash
+                    for r in cat.read(spark, rebuild_from).select("url_hash").collect()
+                ]
+                self.filter.add_many(redo)
+            self.filter.add_many(keys)
+
+    def delete_keys(self, keys) -> None:
+        self.filter.delete_many(keys)
+
+
 def bootstrap(spark: SparkSession, cat: Catalog, cfg: CrawlConfig) -> dict:
     seeds = seed_frontier(spark, cfg.tasks)
     snap, n = cat.write_counted(seeds, "frontier_pending", mode="overwrite")
@@ -171,6 +241,7 @@ def run_round(
     state: dict,
     pages_prepared: DataFrame,
     robots_df: DataFrame | None,
+    cuckoo: CuckooSeen | None = None,
 ) -> dict:
     round_no = state["round"] + 1
     t0 = time.time()
@@ -178,19 +249,27 @@ def run_round(
 
     pending = cat.read(spark, "frontier_pending")
     seen_df = cat.read_or_empty(spark, "seen", SEEN_SCHEMA)
+    any_reload = any(t.reload for t in cfg.tasks.values())
 
     # F3 depth cutoff (deterministic -> dropping at schedule == at pull)
     cand = pending.where(F.col("depth") <= _max_depth_col(cfg.tasks))
-    # F4 seen dedup: bloom pre-filter + exact anti-join
+    # F4 seen dedup: approx pre-filter + exact anti-join.  Reload tasks
+    # bypass the visited check entirely (crawler.go:85) — split them out
+    # before the dedup and union back after (no-op when no task reloads).
+    if any_reload:
+        rel_rows = cand.where(_reload_col(cfg.tasks))
+        cand = cand.where(~_reload_col(cfg.tasks))
     _t = time.time()
     cand = dedup_candidates(
-        cand, seen_df, state["seen_count"], use_bloom=cfg.use_bloom,
+        cand, seen_df, state["seen_count"], use_bloom=cfg.filter_kind() == "bloom",
         fpp=cfg.bloom_fpp, min_seen=cfg.bloom_min_seen,
+        cuckoo=cuckoo.filter if cuckoo is not None else None,
     )
     bloom_wall = time.time() - _t  # eager: the bloom build collects here
     # in-round duplicate URLs: keep the schedulable-first copy, drop the
     # rest (reference: duplicate skipped at pull once first copy marked
-    # visited, crawler.go:85-90)
+    # visited, crawler.go:85-90).  Reload rows are exempt: the reference
+    # fetches every pulled copy of a reload-task URL.
     wdup = Window.partitionBy("url_hash").orderBy(
         F.col("priority").desc(), F.col("seq").asc()
     )
@@ -199,6 +278,8 @@ def run_round(
         .where(F.col("_dup") == 1)
         .drop("_dup")
     )
+    if any_reload:
+        cand = cand.unionByName(rel_rows)
     # F5 politeness: robots + per-(task,host) round budget, skew-salted
     cand = apply_robots(cand, robots_df, cfg.round_seconds).persist()
     scheduled, deferred = rank_by_budget(
@@ -216,7 +297,12 @@ def run_round(
 
     def commit(df: DataFrame, table: str, mode: str = "append") -> None:
         t = time.time()
-        snaps[table], rows[table] = cat.write_counted(df, table, mode)
+        # skip_empty: long crawls must not accrue one empty snapshot dir
+        # per table per round (manifest + union growth); overwrites always
+        # commit (they reset the live set)
+        snaps[table], rows[table] = cat.write_counted(
+            df, table, mode, skip_empty=(mode == "append")
+        )
         stage_wall[table] = time.time() - t
 
     # crawl-order artifact committed FIRST: it materializes `scheduled`
@@ -233,12 +319,31 @@ def run_round(
 
     # S5 fetch + parse: ONE streaming pass over the corpus per round.
     # The corpus is never cached (at 10^10 URLs it never could be) —
-    # scan -> decode -> join broadcast(scheduled) -> flags -> every rule
-    # kernel as CASE dispatch, all inside one whole-stage-codegen pass —
-    # and only the *narrow* result (no bodies) is persisted.
-    hits = pages_prepared.join(
-        F.broadcast(scheduled), on="url_norm", how="inner"
-    ).withColumn("body", F.decode(F.col("html"), "UTF-8"))
+    # scan -> join -> decode -> flags -> every rule kernel as CASE
+    # dispatch — and only the *narrow* result (no bodies) is persisted.
+    # Build-side gate: broadcast the scheduled set only below
+    # broadcast_max_rows; above it (huge budgets x 10^7 hosts would blow
+    # the driver) fall back to an un-hinted join — AQE picks the
+    # strategy from runtime stats, and at 100 TB the pages table is
+    # additionally bucketed by url_norm so the shuffle is one-sided.
+    small_build = n_scheduled <= cfg.broadcast_max_rows
+
+    def build(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_build else df
+
+    hits = pages_prepared.join(build(scheduled), on="url_norm", how="inner")
+    if cfg.charset_sniff:
+        # P11: BOM + meta prescan per page (Arrow-batched; only the
+        # scheduled rows — never the corpus scan — pay the Python hop).
+        # The short-body gate then measures the UTF-8 re-encoding, same
+        # as the reference's len() over the transcoded body
+        # (crawler.go:113 after collect.go:43-47).
+        from .charset import sniff_decode_col
+
+        hits = hits.withColumn("body", sniff_decode_col(F.col("html")))
+        hits = hits.withColumn("body_bytes", F.octet_length(F.encode(F.col("body"), "UTF-8")))
+    else:
+        hits = hits.withColumn("body", F.decode(F.col("html"), "UTF-8"))
     parsed = hits.select(
         *FRONTIER_COLS,
         F.col("body").contains(cfg.ban_marker).alias("banned"),  # F8
@@ -249,11 +354,30 @@ def run_round(
         ],
     ).persist()
 
-    seen_delta = (
-        parsed.where(~F.col("banned"))  # ok + short are marked seen
-        .select("url_hash", "url_norm")
-        .withColumn("round", F.lit(round_no))
+    # ---- fetch misses (needed by the seen-delta when tasks reload)
+    misses = scheduled.join(
+        build(parsed.select("url_norm")), on="url_norm", how="left_anti"
     )
+
+    # Seen-set timing per reference: StoreVisited runs for every pulled
+    # request (crawler.go:92) and SetFailure un-visits only non-reload
+    # tasks (crawler.go:180-185).  Net effect per round: non-reload rows
+    # are seen unless they failed (ban/miss); reload rows are seen
+    # unconditionally.
+    if any_reload:
+        is_rel = _reload_col(cfg.tasks)
+        seen_delta = (
+            parsed.where(~F.col("banned") | is_rel)
+            .select("url_hash", "url_norm")
+            .unionByName(misses.where(is_rel).select("url_hash", "url_norm"))
+            .withColumn("round", F.lit(round_no))
+        )
+    else:
+        seen_delta = (
+            parsed.where(~F.col("banned"))  # ok + short are marked seen
+            .select("url_hash", "url_norm")
+            .withColumn("round", F.lit(round_no))
+        )
     commit(seen_delta, "seen")  # first action: populates the parsed cache
     n_seen_delta = rows["seen"]
 
@@ -270,9 +394,6 @@ def run_round(
     n_items = rows["results"]
 
     # ---- failures: fetch miss or ban -> retry once, then park (F7)
-    misses = scheduled.join(
-        F.broadcast(parsed.select("url_norm")), on="url_norm", how="left_anti"
-    )
     banned = parsed.where(F.col("banned")).select(*FRONTIER_COLS)
     failed = misses.unionByName(banned)
     retries = (
@@ -314,6 +435,21 @@ def run_round(
     next_pending = deferred.unionByName(new_rows)
     commit(next_pending, "frontier_pending", mode="overwrite")
     n_pending = rows["frontier_pending"]
+
+    # ---- incremental cuckoo maintenance (seen_filter='cuckoo'):
+    # insert at schedule time, delete failed non-reload keys — the
+    # reference's StoreVisited / SetFailure protocol (crawler.go:92,
+    # 180-185) on the long-lived filter.  Collect is budget-bounded
+    # (scheduled rows only); production shards by host-bucket.
+    if cuckoo is not None:
+        sched_keys = [r.url_hash for r in scheduled.select("url_hash").collect()]
+        cuckoo.add_keys(sched_keys, cat, spark)
+        fail_nonrel = failed if not any_reload else failed.where(
+            ~_reload_col(cfg.tasks)
+        )
+        cuckoo.delete_keys(
+            [r.url_hash for r in fail_nonrel.select("url_hash").collect()]
+        )
 
     wall = time.time() - t0
     if cfg.collect_metrics:
@@ -370,10 +506,42 @@ def run_crawl(
         state = resume(cat)
     else:
         state = bootstrap(spark, cat, cfg)
+    cuckoo: CuckooSeen | None = None
+    if cfg.filter_kind() == "cuckoo":
+        cuckoo = CuckooSeen(capacity=max(state["seen_count"] * 2, 1 << 14))
+        if state["seen_count"] and cat.exists("seen"):
+            cuckoo.add_keys(
+                [r.url_hash for r in cat.read(spark, "seen").select("url_hash").collect()],
+                cat, spark, rebuild_from=None,
+            )
     pages_prepared = prepare_pages(spark.read.parquet(cfg.pages_path))
     robots_df = (
         spark.read.parquet(cfg.robots_path) if cfg.robots_path else None
     )
     while not state["finished"] and state["round"] < cfg.max_rounds:
-        state = run_round(spark, cat, cfg, state, pages_prepared, robots_df)
+        state = run_round(spark, cat, cfg, state, pages_prepared, robots_df, cuckoo)
     return state
+
+
+def results_wide(results: DataFrame, task: Task) -> DataFrame:
+    """K5 reference-parity view: one column per ItemField instead of the
+    engine's ``data map<string,string>`` — the exact column set the
+    reference's sink creates at save time (collector/sqlstorage/
+    sqlstorage.go:68-88: ItemFields + Url + Time, all strings).  Missing
+    map keys surface as '' (ExtraString contract).  A downstream SQL
+    consumer of e.g. ``douban_book_list`` reads named columns, no
+    element_at gymnastics."""
+    rule_fields: list[str] = []
+    for rule in task.rules.values():
+        if isinstance(rule, FieldsRule):
+            if rule.tmp_field is not None:
+                rule_fields.append(rule.tmp_field[0])
+            rule_fields += [f.name for f in rule.fields if f.name not in rule_fields]
+    return results.where(F.col("task") == task.name).select(
+        *[
+            F.coalesce(F.element_at(F.col("data"), f), F.lit("")).alias(f)
+            for f in rule_fields
+        ],
+        F.col("url").alias("Url"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("Time"),
+    )

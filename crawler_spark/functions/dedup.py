@@ -72,7 +72,12 @@ def ngram_jaccard_pairs(
     stop-shingles (posting lists longer than max_df) — at web scale this
     is what keeps the self-join subquadratic.
     """
-    sh = shingles(df, id_col, text_col, n).persist()
+    # localCheckpoint, not persist: same one-time materialization for the
+    # multi-consumer plan, but the blocks are released by the context
+    # cleaner when the returned DataFrame is dropped — a bare persist
+    # leaked one shingle cache per call into executor storage memory
+    # across bench loops / long sessions.
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if max_df is not None:
         keep = sh.groupBy("shingle").agg(F.count("*").alias("df_")).where(
@@ -162,9 +167,11 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Candidates from LSH bands, verified by exact Jaccard.
 
-    ``sh`` is persisted: it feeds sizes, signatures, and both sides of
-    the verification join — four otherwise-recomputed explode passes."""
-    sh = shingles(df, id_col, text_col, n).persist()
+    ``sh`` is localCheckpoint'ed: it feeds sizes, signatures, and both
+    sides of the verification join — four otherwise-recomputed explode
+    passes — and the blocks are context-cleaned when the result is
+    dropped (a persist would leak across repeated calls)."""
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     cands = lsh_candidate_pairs(minhash_signatures(sh))
     a, b = sh.alias("a"), sh.alias("b")

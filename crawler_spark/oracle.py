@@ -49,9 +49,22 @@ def crawl_oracle(
     max_attempts: int = 2,
     robots: dict[str, tuple[float | None, list[str]]] | None = None,
     max_rounds: int = 64,
+    charset_sniff: bool = False,
 ) -> OracleResult:
     res = OracleResult()
     robots = robots or {}
+
+    def decode(body: bytes) -> tuple[str, int]:
+        """-> (text, gate_length).  With P11 sniffing, the short-body
+        gate measures the UTF-8 re-encoding of the transcoded text, as
+        the reference does (len over the transform.Reader output,
+        crawler.go:113 after collect.go:43-47)."""
+        if charset_sniff:
+            from .charset import sniff_decode_py
+
+            text = sniff_decode_py(body)
+            return text, len(text.encode("utf-8"))
+        return body.decode("utf-8"), len(body)
 
     def base_budget(task: Task) -> int:
         rate = min(e / s for e, s in task.rate_limits)
@@ -79,17 +92,25 @@ def crawl_oracle(
         if not pending:
             break
         res.rounds = round_no
-        # depth cutoff, seen dedup
+        # depth cutoff, seen dedup (reload tasks skip the visited check,
+        # crawler.go:85)
         cand = [
             r for r in pending
             if r["depth"] <= tasks[r["task"]].max_depth
-            and r["url_hash"] not in seen_hashes
+            and (tasks[r["task"]].reload or r["url_hash"] not in seen_hashes)
         ]
-        # in-round duplicate URLs: keep schedulable-first copy
+        # in-round duplicate URLs: keep schedulable-first copy; reload
+        # rows are exempt (every pulled copy is fetched)
         best: dict[int, dict] = {}
+        keep: list[dict] = []
         for r in sorted(cand, key=lambda r: (-r["priority"], r["seq"])):
-            best.setdefault(r["url_hash"], r)
-        cand = sorted(best.values(), key=lambda r: (-r["priority"], r["seq"]))
+            if tasks[r["task"]].reload:
+                keep.append(r)
+            else:
+                best.setdefault(r["url_hash"], r)
+        cand = sorted(
+            list(best.values()) + keep, key=lambda r: (-r["priority"], r["seq"])
+        )
         # robots disallow
         kept = []
         for r in cand:
@@ -120,7 +141,12 @@ def crawl_oracle(
             res.order.append((round_no, r["priority"], r["seq"], r["url_norm"]))
             body = corpus.get(r["url_norm"])
             task = tasks[r["task"]]
-            if body is None or ban_marker in body.decode("utf-8"):
+            if task.reload:
+                # StoreVisited is unconditional (crawler.go:92) and
+                # SetFailure does NOT un-visit reload tasks (:180-185)
+                seen_hashes.add(r["url_hash"])
+                res.seen.add(r["url_norm"])
+            if body is None or ban_marker in decode(body)[0]:
                 if r["attempts"] + 1 < max_attempts:
                     rr = dict(r)
                     rr["attempts"] += 1
@@ -129,13 +155,13 @@ def crawl_oracle(
                 else:
                     res.parked.append(r["url_norm"])
                 continue
-            if len(body) < min_body_bytes:
+            text, gate_len = decode(body)
+            if gate_len < min_body_bytes:
                 seen_hashes.add(r["url_hash"])
                 res.seen.add(r["url_norm"])
                 continue
             seen_hashes.add(r["url_hash"])
             res.seen.add(r["url_norm"])
-            text = body.decode("utf-8")
             rule = task.rules[r["rule"]]
             if isinstance(rule, LinkRule):
                 for pos, (u, t) in enumerate(parse_links_py(text, rule, r["url"])):

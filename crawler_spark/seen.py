@@ -127,20 +127,51 @@ def dedup_candidates(
     use_bloom: bool = True,
     fpp: float = 0.01,
     min_seen: int = 1024,
+    cuckoo: "Cuckoo | None" = None,
 ) -> DataFrame:
     """Exact F4 semantics: candidates minus seen (left anti on url_hash),
-    with the bloom fast path once the seen set outgrows ``min_seen``
-    (below that the bloom build job costs more than the join it saves)."""
+    with an approximate pre-filter fast path once the seen set outgrows
+    ``min_seen`` (below that the filter build/probe costs more than the
+    join it saves).  The pre-filter is either the per-round distributed
+    bloom, or — when ``cuckoo`` is passed — the engine's long-lived
+    incremental cuckoo filter (supports deletion on un-visit, the
+    reference's crawler.go:180-185 semantics).  Either way false
+    positives only cost an exact-join probe, never a dropped URL."""
     if seen_count == 0:
         return candidates
-    if not use_bloom or seen_count < min_seen:
+    if cuckoo is not None and seen_count >= min_seen:
+        fresh, maybe = split_by_filter(candidates, cuckoo.contains_many)
+    elif use_bloom and seen_count >= min_seen:
+        bloom = build_bloom(seen_df, "url_hash", n_items=seen_count, fpp=fpp)
+        fresh, maybe = split_by_bloom(candidates, bloom)
+    else:
         return candidates.join(
             seen_df.select("url_hash"), on="url_hash", how="left_anti"
         )
-    bloom = build_bloom(seen_df, "url_hash", n_items=seen_count, fpp=fpp)
-    fresh, maybe = split_by_bloom(candidates, bloom)
     confirmed = maybe.join(seen_df.select("url_hash"), on="url_hash", how="left_anti")
     return fresh.unionByName(confirmed)
+
+
+def split_by_filter(
+    candidates: DataFrame, approx_contains, key_col: str = "url_hash"
+) -> tuple[DataFrame, DataFrame]:
+    """Generic (definitely_new, maybe_seen) split for any vectorized
+    approximate-membership probe ``approx_contains(np.int64[:]) -> bool[:]``
+    (bloom or cuckoo).  Probe runs as an Arrow-batched pandas UDF over
+    broadcast filter state; exactness restored downstream by the
+    anti-join on maybe_seen only."""
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(approx_contains)
+
+    @F.pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        return pd.Series(bc.value(keys.to_numpy(dtype=np.int64)))
+
+    flagged = candidates.withColumn("_maybe", might_contain(F.col(key_col)))
+    return (
+        flagged.where(~F.col("_maybe")).drop("_maybe"),
+        flagged.where(F.col("_maybe")).drop("_maybe"),
+    )
 
 
 # ---------------------------------------------------------------- cuckoo
@@ -212,3 +243,29 @@ class Cuckoo:
                 self.table[i][hit[0]] = 0
                 return True
         return False
+
+    # vectorized conveniences for the engine's incremental-seen path
+    def add_many(self, keys) -> int:
+        ok = 0
+        for k in keys:
+            ok += bool(self.add(int(k)))
+        return ok
+
+    def delete_many(self, keys) -> int:
+        ok = 0
+        for k in keys:
+            ok += bool(self.delete(int(k)))
+        return ok
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized ``contains`` (int64 arithmetic shifts match the
+        scalar path's Python semantics for negative hashes)."""
+        ks = np.asarray(keys, dtype=np.int64)
+        fp = (ks ^ (ks >> 17)) & np.int64(0xFFFF)
+        fp = np.where(fp == 0, np.int64(1), fp).astype(np.uint16)
+        mask = np.int64(self.n - 1)
+        i1 = (ks >> 16) & mask
+        i2 = (i1 ^ (fp.astype(np.int64) * np.int64(0x5BD1E995))) & mask
+        hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return hit1 | hit2

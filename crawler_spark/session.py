@@ -38,11 +38,30 @@ _DEFAULTS = {
     "spark.driver.extraJavaOptions": f"-Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch",
 }
 
-if os.path.isdir("/dev/shm"):
-    # Shuffle/spill on tmpfs: the single VM disk (~0.7 GB/s) is a serial
-    # resource that caps multi-core scaling; on a real cluster each node
-    # brings its own NVMe, so tmpfs locally is the faithful analog.
-    _DEFAULTS["spark.local.dir"] = "/dev/shm/spark-graft-local"
+def _tmpfs_local_dir() -> str | None:
+    """Shuffle/spill on tmpfs: the single VM disk (~0.7 GB/s) is a serial
+    resource that caps multi-core scaling; on a real cluster each node
+    brings its own NVMe, so tmpfs locally is the faithful analog.
+
+    Gated: tmpfs is RAM — a big spill would fill it and pressure the OS
+    into OOM instead of degrading to disk.  Enabled only when /dev/shm
+    currently has >= 4 GiB free, and SPARK_GRAFT_TMPFS=0 force-disables
+    (SPARK_GRAFT_TMPFS=1 force-enables for bench boxes that know their
+    working set)."""
+    flag = os.environ.get("SPARK_GRAFT_TMPFS", "")
+    if flag == "0" or not os.path.isdir("/dev/shm"):
+        return None
+    if flag != "1":
+        import shutil
+
+        if shutil.disk_usage("/dev/shm").free < 4 << 30:
+            return None
+    return "/dev/shm/spark-graft-local"
+
+
+_shm = _tmpfs_local_dir()
+if _shm:
+    _DEFAULTS["spark.local.dir"] = _shm
 
 
 def get_spark(

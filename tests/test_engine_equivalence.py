@@ -19,15 +19,17 @@ from crawler_spark.catalog import Catalog
 
 
 def _run_both(spark, tmp_path, *, salt_buckets, use_bloom, round_seconds=30.0,
-              n_hosts=4, max_depth=5):
+              n_hosts=4, max_depth=5, gbk=False, tasks=None, n_filler=30,
+              **cfg_kw):
     pages_path = str(tmp_path / "pages")
-    corpus.write_corpus(spark, pages_path, n_hosts=n_hosts, n_filler=30)
-    tasks = rules.synthetic_tasks(
-        max_depth=max_depth, n_book_hosts=n_hosts, n_sun_hosts=max(1, n_hosts // 2)
-    )
+    corpus.write_corpus(spark, pages_path, n_hosts=n_hosts, n_filler=n_filler, gbk=gbk)
+    if tasks is None:
+        tasks = rules.synthetic_tasks(
+            max_depth=max_depth, n_book_hosts=n_hosts, n_sun_hosts=max(1, n_hosts // 2)
+        )
     cfg = engine.CrawlConfig(
         tasks=tasks, pages_path=pages_path, round_seconds=round_seconds,
-        use_bloom=use_bloom, salt_buckets=salt_buckets,
+        use_bloom=use_bloom, salt_buckets=salt_buckets, **cfg_kw,
     )
     cat = Catalog(str(tmp_path / "wh"))
     state = engine.run_crawl(spark, cat, cfg)
@@ -40,9 +42,36 @@ def _run_both(spark, tmp_path, *, salt_buckets, use_bloom, round_seconds=30.0,
     orc = oracle.crawl_oracle(
         tasks, corpus_dict, round_seconds=round_seconds,
         min_body_bytes=cfg.min_body_bytes, ban_marker=cfg.ban_marker,
-        max_attempts=cfg.max_attempts,
+        max_attempts=cfg.max_attempts, charset_sniff=cfg.charset_sniff,
     )
     return cat, state, orc
+
+
+def _assert_match(spark, cat, state, orc):
+    """The four-artifact equality gate shared by every engine-vs-oracle
+    scenario: seen set, crawl order, items byte-for-byte, parked."""
+    engine_seen = {r.url_norm for r in cat.read(spark, "seen").collect()}
+    assert engine_seen == orc.seen
+    log = (
+        cat.read(spark, "schedule_log")
+        .orderBy("round", F.desc("priority"), "seq")
+        .collect()
+    )
+    engine_order = [(r.round, r.priority, r.seq, r.url_norm) for r in log]
+    assert engine_order == orc.order
+    eng_items = sorted(
+        (r.task, r.rule, r.url, tuple(sorted((r.data or {}).items())))
+        for r in cat.read(spark, "results").collect()
+    )
+    assert eng_items == sorted(orc.items)
+    parked = (
+        {r.url for r in cat.read(spark, "failures").collect()}
+        if cat.exists("failures")
+        else set()
+    )
+    from crawler_spark.urlnorm import canon_py
+
+    assert {canon_py(u) for u in parked} == set(orc.parked)
 
 
 @pytest.mark.parametrize(
@@ -86,6 +115,110 @@ def test_engine_matches_oracle(spark, tmp_path, salt_buckets, use_bloom):
 
     # 5. rounds agree
     assert state["round"] == orc.rounds + (0 if orc.rounds else 0)
+
+
+def test_engine_matches_oracle_shuffle_fetch_join(spark, tmp_path):
+    """broadcast_max_rows=0 forces the size-gated fallback: the fetch
+    join and the miss anti-join run WITHOUT the broadcast hint (AQE picks
+    the strategy) — results must be byte-identical to the hinted path."""
+    cat, state, orc = _run_both(
+        spark, tmp_path, salt_buckets=1, use_bloom=False, broadcast_max_rows=0
+    )
+    _assert_match(spark, cat, state, orc)
+
+
+def test_engine_matches_oracle_cuckoo(spark, tmp_path):
+    """seen_filter='cuckoo': the long-lived incremental filter (insert at
+    schedule, delete on failure) as the F4 pre-filter; exactness must be
+    preserved by the confirming anti-join."""
+    cat, state, orc = _run_both(
+        spark, tmp_path, salt_buckets=1, use_bloom=True,
+        seen_filter="cuckoo", bloom_min_seen=1,
+    )
+    _assert_match(spark, cat, state, orc)
+
+
+def test_engine_matches_oracle_gbk_sniff(spark, tmp_path):
+    """P11: a mixed-encoding corpus (25% of topic/detail pages GBK with a
+    meta declaration) under charset_sniff=True — the byte-identical
+    invariant must hold across the transcode, including the short-body
+    gate measured on the UTF-8 re-encoding."""
+    cat, state, orc = _run_both(
+        spark, tmp_path, salt_buckets=1, use_bloom=False,
+        gbk=True, charset_sniff=True,
+    )
+    _assert_match(spark, cat, state, orc)
+    # the corpus really did contain GBK pages that were successfully seen
+    from crawler_spark.urlnorm import xxhash64_py
+
+    pages = spark.read.parquet(str(tmp_path / "pages")).collect()
+    gbk_urls = [
+        r.url for r in pages
+        if bytes(r.html)[:5] == b"<meta" or b"charset=\"GBK\"" in bytes(r.html)[:30]
+    ]
+    assert gbk_urls, "corpus contains no GBK pages"
+    from crawler_spark.urlnorm import canon_py
+
+    engine_seen = {r.url_norm for r in cat.read(spark, "seen").collect()}
+    assert any(canon_py(u) in engine_seen for u in gbk_urls)
+
+
+def test_reload_task_refetches(spark, tmp_path):
+    """Task.Reload (crawler.go:85): a reload task re-fetches URLs it has
+    already seen when they are re-discovered, and every in-round
+    duplicate copy is fetched; the oracle agrees on all artifacts."""
+    tasks = {
+        "sun_reload": rules.Task(
+            name="sun_reload",
+            seeds=(
+                ("https://host000.example.test/group/0", "group_list", 1),
+                ("https://host000.example.test/group/1", "group_list", 1),
+            ),
+            rules={
+                "group_list": rules.LinkRule(
+                    pattern=rules.SYN_TOPIC_RE, url_group=1, next_rule="topic",
+                ),
+                "topic": rules.MatchRule(pattern=rules.CONTENT_RE),
+            },
+            rate_limits=((2, 30),),  # budget 2/host/round -> groups span rounds
+            reload=True,
+        ),
+    }
+    cat, state, orc = _run_both(
+        spark, tmp_path, salt_buckets=1, use_bloom=False,
+        n_hosts=1, n_filler=0, tasks=tasks,
+    )
+    _assert_match(spark, cat, state, orc)
+    # group 0 and group 1 share topic ids -> some topic must have been
+    # scheduled (and fetched) more than once
+    from collections import Counter
+
+    sched = Counter(
+        r.url_norm for r in cat.read(spark, "schedule_log").collect()
+    )
+    # sanity: the non-reload twin schedules every URL exactly once
+    import dataclasses
+
+    tasks_noreload = {
+        "sun_reload": dataclasses.replace(tasks["sun_reload"], reload=False)
+    }
+    cat2, state2, orc2 = _run_both(
+        spark, tmp_path / "nr", salt_buckets=1, use_bloom=False,
+        n_hosts=1, n_filler=0, tasks=tasks_noreload,
+    )
+    _assert_match(spark, cat2, state2, orc2)
+    sched2 = Counter(
+        r.url_norm for r in cat2.read(spark, "schedule_log").collect()
+    )
+    # without reload, a URL that entered the seen set is never scheduled
+    # again (banned/dead URLs are excluded: the retry-once path
+    # legitimately re-schedules those in both configs)
+    seen2 = {r.url_norm for r in cat2.read(spark, "seen").collect()}
+    assert seen2 and all(sched2[u] == 1 for u in seen2)
+    # the reload run re-fetched at least one URL the non-reload run
+    # deduplicated: scheduled >1 times with reload, exactly once without
+    refetched = [u for u, c in sched.items() if c > 1 and sched2.get(u) == 1]
+    assert refetched, "reload task never re-fetched a seen URL"
 
 
 def test_depth_cutoff(spark, tmp_path):

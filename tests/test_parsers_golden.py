@@ -134,3 +134,41 @@ def test_atoi_semantics():
     assert parsers._atoi_str("381页") == "0"
     assert parsers._atoi_str("") == "0"
     assert parsers._atoi_str(" 381") == "0"  # Go Atoi rejects spaces
+
+
+def test_results_wide_reference_columns(spark, fixtures):
+    """K5 parity: results_wide emits exactly the reference sink's column
+    set — ItemFields + Url + Time, all strings (sqlstorage.go:68-88) —
+    from the engine's map-typed results, '' for missing fields."""
+    import datetime
+
+    from crawler_spark.engine import results_wide
+
+    task = rules.douban_tasks()["douban_book_list"]
+    data = parsers.parse_fields_py(
+        fixtures["detail"], task.rules["book_detail"], {"book_name": "测试书"}
+    )
+    ts = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    df = spark.createDataFrame(
+        [
+            ("douban_book_list", "book_detail", "https://book.douban.com/b/1", ts, data),
+            # a row with a sparse map: absent fields must surface as ''
+            ("douban_book_list", "book_detail", "https://book.douban.com/b/2", ts,
+             {"书名": "only-name"}),
+            ("other_task", "r", "u", ts, {}),
+        ],
+        "task string, rule string, url string, ts timestamp, data map<string,string>",
+    )
+    wide = results_wide(df, task)
+    assert wide.columns == list(rules.BOOK_ITEM_FIELDS) + ["Url", "Time"]
+    rows = {r["Url"]: r for r in wide.collect()}
+    assert set(rows) == {
+        "https://book.douban.com/b/1", "https://book.douban.com/b/2"
+    }  # other tasks' rows excluded
+    r1 = rows["https://book.douban.com/b/1"]
+    assert r1["书名"] == "测试书"
+    assert all(r1[f] == data[f] for f in data)
+    assert r1["Time"] == "2026-01-02 03:04:05"  # rule.go:50 format
+    r2 = rows["https://book.douban.com/b/2"]
+    assert r2["书名"] == "only-name"
+    assert all(r2[f] == "" for f in rules.BOOK_ITEM_FIELDS if f != "书名")

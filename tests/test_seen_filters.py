@@ -71,3 +71,33 @@ def test_cuckoo_membership_and_delete(keys):
     for k in keys[::2]:
         assert c.delete(k)
     assert all(c.contains(k) for k in keys[1::2])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(I64, min_size=1, max_size=200), st.lists(I64, min_size=0, max_size=100))
+def test_cuckoo_contains_many_matches_scalar(members, probes):
+    """The engine's vectorized probe must agree with the scalar path on
+    every key, including negative hashes (arithmetic-shift semantics)."""
+    c = Cuckoo.sized(len(members) * 2)
+    for k in members:
+        c.add(k)
+    allk = members + probes
+    vec = c.contains_many(np.array(allk, dtype=np.int64))
+    assert list(vec) == [c.contains(k) for k in allk]
+
+
+def test_dedup_candidates_cuckoo_exact(spark):
+    """Cuckoo pre-filter path keeps F4 exact (anti-join confirms)."""
+    seen_keys = list(range(0, 100, 2))
+    seen_df = spark.createDataFrame([(k,) for k in seen_keys], "url_hash long")
+    cand = spark.createDataFrame(
+        [(k, f"u{k}") for k in range(100)], "url_hash long, url string"
+    )
+    c = Cuckoo.sized(256)
+    for k in seen_keys:
+        c.add(k)
+    out = dedup_candidates(
+        cand, seen_df, seen_count=50, use_bloom=False, min_seen=1, cuckoo=c
+    )
+    keys = sorted(r.url_hash for r in out.collect())
+    assert keys == list(range(1, 100, 2))
