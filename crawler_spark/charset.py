@@ -39,10 +39,11 @@ def sniff_charset(head: bytes) -> str:
     """Charset name for a page prefix: BOM > meta prescan > utf-8."""
     if head.startswith(b"\xef\xbb\xbf"):
         return "utf-8-sig"
-    if head.startswith(b"\xff\xfe"):
-        return "utf-16-le"
-    if head.startswith(b"\xfe\xff"):
-        return "utf-16-be"
+    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        # 'utf-16' consumes the BOM during decode (Go's unicode.UTF16
+        # BOMOverride does the same); the -le/-be names would leave a
+        # stray U+FEFF at the start of the text
+        return "utf-16"
     m = _META_RE.search(head[:SNIFF_BYTES])
     if m:
         enc = m.group(1).decode("ascii").lower()

@@ -230,25 +230,52 @@ def cosine_neardup_pairs_exact(
     emb: DataFrame, threshold_micro: int = 900_000,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold (oracle-checkable baseline;
-    O(n^2) — use the LSH-blocked variant beyond ~10^5 vectors).
+    """Exact all-pairs cosine >= threshold — the oracle anchor the
+    blocked variants are measured against.
 
-    Norms are computed once per vector *before* the pair join (n norm
-    evaluations instead of n^2); the per-pair expression dot/(na*nb) is
-    operation-for-operation the same as ``cosine()``, so results are
-    bit-identical to the naive form."""
-    a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        norm(F.col(vec_col)).alias("na"),
+    Block matrix-multiply shape, not a crossJoin: the corpus matrix is
+    broadcast once (n x dim doubles — 1 MB per 2k vectors) and each
+    partition BLAS-multiplies its Arrow batch against it, emitting only
+    the above-threshold pairs.  Still O(n^2) compute by definition (it is
+    the exact kernel), but one corpus pass, no 2-sided shuffle, no n^2
+    row materialization.  The broadcast side caps practical n at ~10^5
+    vectors (a few GB); beyond that, tile both sides or use the
+    LSH-blocked variant.  Threshold-boundary safety: summation-order
+    noise is ~1e-6 micro-units; any corpus whose pairs sit closer than
+    that to the threshold is mis-specified for EVERY float kernel."""
+    import pyspark.sql.types as T
+
+    rows = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r.id for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, Mn))
+    thr = threshold_micro
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_micro", T.LongType()),
+        ]
     )
-    b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        norm(F.col(vec_col)).alias("nb"),
-    )
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_M = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            C = np.floor(A @ b_M.T * 1_000_000).astype(np.int64)
+            keep = (C >= thr) & (a_ids[:, None] < b_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cos_micro": C[ai, bi]}
+            )
+
     return (
-        pairs.withColumn("cos_micro", F.floor(cos * 1_000_000).cast("long"))
-        .where(F.col("cos_micro") >= threshold_micro)
-        .select("id_a", "id_b", "cos_micro")
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(run, schema=out_schema)
     )

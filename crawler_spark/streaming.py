@@ -1,0 +1,116 @@
+"""Structured Streaming surfaces over the engine's snapshot tables.
+
+The crawl engine itself is a batch round loop by design (SURVEY.md §7:
+rounds map 1:1 to the reference's scheduler drain semantics and give
+deterministic ordering + snapshot resume).  What Structured Streaming
+adds — and what this module provides — is the *consumer* side: the
+catalog's append-only snapshot directories are exactly a file-stream
+source, so downstream jobs can tail results/metrics/seen live while the
+crawl runs, with no coupling to the round driver.
+
+    warehouse/results/snap-000001/part-*.parquet   <- each round commits
+    warehouse/results/snap-000002/part-*.parquet      a new snapshot dir
+
+A file-source stream over ``warehouse/<table>/*/`` discovers each new
+snapshot's files as they are committed (commit order == discovery
+order), which makes every engine table a live feed for free.  On
+Iceberg-proper the same call sites become ``readStream.format("iceberg")``.
+
+Provided shapes:
+- ``stream_table``       raw live tail of any engine table
+- ``items_per_window``   watermarked tumbling-window counts of extracted
+                         items per task (the standard late-data-tolerant
+                         monitoring agg)
+- ``run_to_memory``      drive any of the above into an in-memory sink
+                         with Trigger.AvailableNow (used by tests and
+                         ad-hoc inspection; production would writeStream
+                         to Kafka/Iceberg instead)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .schemas import METRICS_SCHEMA, RESULTS_SCHEMA, SEEN_SCHEMA
+
+_SCHEMAS = {
+    "results": RESULTS_SCHEMA,
+    "seen": SEEN_SCHEMA,
+    "metrics": METRICS_SCHEMA,
+}
+
+
+def stream_table(
+    spark: SparkSession, cat: Catalog, table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame tailing ``table``'s committed snapshots.
+
+    The glob ``<warehouse>/<table>/*`` matches every snap-* dir; the
+    file source tracks seen files, so each new snapshot commit surfaces
+    exactly once.  Schema comes from the static engine schemas — a
+    streaming source cannot infer it, and the engine's schemas are fixed
+    by design (SURVEY.md §1)."""
+    if table not in _SCHEMAS:
+        raise ValueError(f"no streaming schema for table {table!r}")
+    reader = (
+        spark.readStream.schema(_SCHEMAS[table])
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(f"{cat.warehouse}/{table}")
+
+
+def items_per_window(
+    results_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window item counts per (task, rule) with a watermark —
+    the late-data-tolerant monitoring aggregation.  State is bounded by
+    the watermark: windows older than ``watermark`` past the max seen
+    event time are finalized and evicted (at 100 TB this is what keeps a
+    perpetual crawl's monitoring state from growing without bound)."""
+    return (
+        results_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "task", "rule")
+        .agg(F.count("*").alias("n_items"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "task", "rule", "n_items",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, query_name: str, timeout_sec: float = 120.0
+) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into an
+    in-memory sink and return the materialized result.  AvailableNow
+    processes everything currently committed then stops — the streaming
+    twin of a batch read, which is what makes the batch-vs-stream
+    equivalence testable."""
+    spark = df.sparkSession
+    mode = "complete" if df.isStreaming and _has_aggregate(df) else "append"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return "Aggregate" in plan

@@ -16,7 +16,9 @@ per level, since the sandbox VM has visible run-to-run noise.
 
     scaling_efficiency = (tput_32 / 32) / (tput_8 / 8)
 
-Writes BENCH/BASELINE.md and prints one JSON summary line.
+Writes BENCH/scaling_last_run.md (raw artifact; the curated
+evidence doc BENCH/BASELINE.md is maintained by hand from it) and
+prints one JSON summary line.
 
 Usage: python scripts/bench_scaling.py [--hosts H] [--filler F] [--reps R]
 """
@@ -98,7 +100,7 @@ def main() -> None:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    md = os.path.join(REPO, "BENCH", "scaling_last_run.md")
     with open(md, "w") as f:
         f.write(render_md(summary, results, lo, hi))
     print(json.dumps(summary))

@@ -63,6 +63,35 @@ def main() -> None:
         explain_str(parsed),
     ))
 
+    # 1b. the same fetch join with the broadcast gate OFF
+    # (n_scheduled > broadcast_max_rows): hint dropped, strategy left to
+    # AQE/statistics — the 100x-scale fallback shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hits_nb = pages.join(
+            sched.select("url_norm", "task_name", "rule_name", "url", "tmp"),
+            on="url_norm", how="inner",
+        ).withColumn("body", F.decode(F.col("html"), "UTF-8"))
+        parsed_nb = hits_nb.select(
+            "url_norm",
+            *[c.alias(k) for k, c in dispatch_cols(tasks, "body").items()],
+        )
+        nb_plan = explain_str(parsed_nb)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    sections.append((
+        "Round fetch+parse, size-gated fallback (broadcast_max_rows exceeded)",
+        "MUST: NO broadcast hint on the build side — an unbounded "
+        "scheduled set (10^7 hosts x big budgets) must never be forced "
+        "into the driver; strategy is left to statistics/AQE "
+        "(emulated here with autoBroadcastJoinThreshold=-1 to stand in "
+        "for a build side whose stats exceed the broadcast budget: the "
+        "plan degrades to SortMergeJoin instead of OOMing the driver).  "
+        "At 100 TB the corpus is bucketed by url_norm so this shuffle "
+        "is one-sided.",
+        nb_plan,
+    ))
+
     # 2. frontier scheduling shape: anti-join + windowed budget rank
     sections.append((
         "schedule_round (dedup anti-join + per-source budget rank)",
@@ -89,6 +118,34 @@ def main() -> None:
         "band buckets, never an all-pairs cross join; exact-Jaccard "
         "verification joins only the candidate pairs.",
         explain_str(QUERIES["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    # 5. LSH-blocked near-dup (the scale path for embedding dedup)
+    sections.append((
+        "cosine_neardup_lsh (bucket-blocked pair join)",
+        "MUST: the self-join key is (seed, bucket) — shuffle bounded by "
+        "bucket population, no CartesianProduct anywhere; exact cosine "
+        "evaluated on candidate pairs only.",
+        explain_str(QUERIES["cosine_neardup_lsh"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    # 6. multi-probe ANN top-k
+    sections.append((
+        "ann_lsh_topk (multi-probe bucket ball + TakeOrdered)",
+        "MUST: bucket membership filter (IN probe-list) ahead of the "
+        "scoring projection; global top-k via TakeOrderedAndProject "
+        "(no full sort).  At scale `bucket` is the table's partition "
+        "key, so the IN filter becomes partition pruning at the scan.",
+        explain_str(QUERIES["ann_lsh_topk"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    # 7. winnowing as pure DataFrame ops
+    sections.append((
+        "winnow_fingerprints (md5-slice + struct-min window, no Python)",
+        "MUST: no Python UDF anywhere (BatchEvalPython/ArrowEvalPython "
+        "absent); per-doc window partitions by doc — embarrassingly "
+        "parallel across documents.",
+        explain_str(QUERIES["winnow_fingerprints"](spark, "/root/testdata/sf0.001")),
     ))
 
     out = ["# PLANS — formatted physical plans for the load-bearing shapes",

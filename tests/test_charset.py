@@ -1,0 +1,36 @@
+"""P11 charset sniff kernel: BOM > meta prescan > UTF-8 default, byte
+round-trip parity for the encodings the reference's DetermineEncoding
+resolves deterministically."""
+
+from __future__ import annotations
+
+from crawler_spark.charset import sniff_charset, sniff_decode_py
+
+
+def test_meta_prescan_variants():
+    assert sniff_charset(b'<meta charset="GBK"><html>') == "gbk"
+    assert sniff_charset(b"<meta charset=gb2312>") == "gb2312"
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" content="text/html; charset=big5">'
+    ) == "big5"
+    assert sniff_charset(b"<html>no declaration</html>") == "utf-8"
+    # declaration outside the first 1 KiB is invisible, as in the reference
+    assert sniff_charset(b"x" * 1024 + b'<meta charset="gbk">') == "utf-8"
+    # unknown charset name falls through to utf-8
+    assert sniff_charset(b'<meta charset="no-such-enc">') == "utf-8"
+
+
+def test_bom_strip_round_trip():
+    s = "阳台 sun room"
+    assert sniff_decode_py(b"\xef\xbb\xbf" + s.encode("utf-8")) == s
+    assert sniff_decode_py(s.encode("utf-16")) == s  # FF FE BOM included
+
+
+def test_gbk_round_trip():
+    s = '<meta charset="GBK"><html>阳台朝南，采光很好</html>'
+    assert sniff_decode_py(s.encode("gbk")) == s
+
+
+def test_malformed_bytes_replace_not_raise():
+    out = sniff_decode_py(b'<meta charset="gbk">\xff\xff\x81')
+    assert "�" in out or out  # replacement, never an exception
