@@ -15,10 +15,11 @@ Mapping to SURVEY.md §2 operator inventory:
   rlike_filter       P2/P8 emit-if-match predicate
   regex_field_extract P5/P6 first-submatch ExtraString semantics
   per_source_agg     per-host metrics aggregation (K1 routing shape)
-plus training-data ops: text_quality, lang_id, fingerprint, dedup_exact,
-dedup_ngram_jaccard, dedup_minhash_lsh, simhash_pairs,
-winnow_fingerprints, multimodal_decode, frame_sample, ann_brute_topk,
-ann_lsh_topk, ann_ivf_topk, cosine_neardup, cosine_neardup_lsh — every
+plus training-data ops: text_quality, lang_id, fingerprint,
+repetition_scores, dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
+simhash_pairs, winnow_fingerprints, multimodal_decode, frame_sample,
+ann_brute_topk, ann_lsh_topk, ann_ivf_topk, cosine_neardup,
+cosine_neardup_lsh — every
 query has a DuckDB oracle (the md5-slice hashing trick makes simhash /
 winnow / minhash reproducible; full-probe equivalence and a measured
 recall-1.0 probe ball make the pruned ANN paths brute-force-checkable).
@@ -156,6 +157,12 @@ def q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", textops.fingerprint_md5(F.col("text")).alias("fp")
     )
+
+
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-2gram fraction,
+    duplicate-3gram fraction) — all built-in SQL, micro fixed-point."""
+    return textops.repetition_scores(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------- dedup
@@ -338,6 +345,7 @@ QUERIES = {
     "per_source_agg": q_per_source_agg,
     "text_quality": q_text_quality,
     "fingerprint": q_fingerprint,
+    "repetition_scores": q_repetition_scores,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -623,6 +631,30 @@ ORACLES = {
         select doc_id,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
         from documents
+    """,
+    "repetition_scores": """
+        with toks as (select doc_id, string_split(text, ' ') as t from documents),
+        g2 as (
+          select doc_id, t[i] || ' ' || t[i+1] as g, count(*) as cnt
+          from toks, unnest(generate_series(1, len(t)-1)) as u(i)
+          where len(t) >= 2 group by doc_id, g
+        ),
+        g3 as (
+          select doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] as g, count(*) as cnt
+          from toks, unnest(generate_series(1, len(t)-2)) as u(i)
+          where len(t) >= 3 group by doc_id, g
+        ),
+        s2 as (select doc_id, max(cnt) as top2, sum(cnt) as tot2 from g2 group by doc_id),
+        s3 as (select doc_id, sum(case when cnt > 1 then cnt else 0 end) as dup3,
+                      sum(cnt) as tot3 from g3 group by doc_id)
+        select d.doc_id,
+               cast(coalesce(floor(s2.top2 * 1000000.0 / s2.tot2), 0) as bigint)
+                 as top2_frac_micro,
+               cast(coalesce(floor(s3.dup3 * 1000000.0 / s3.tot3), 0) as bigint)
+                 as dup3_frac_micro
+        from documents d
+        left join s2 on s2.doc_id = d.doc_id
+        left join s3 on s3.doc_id = d.doc_id
     """,
     "dedup_exact": r"""
         select doc_id, fp, (rn > 1) as is_dup from (

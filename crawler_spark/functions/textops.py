@@ -90,6 +90,58 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# ----------------------------------------------------------- repetition
+def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    adapted to whitespace tokens, all built-in SQL (fixed-point micro
+    ratios, oracle-checkable):
+
+    - ``top2_frac_micro``: occurrences of the most frequent word 2-gram
+      / total 2-gram occurrences (boilerplate/SEO spam marker);
+    - ``dup3_frac_micro``: fraction of 3-gram occurrences whose gram
+      appears more than once in the doc (self-repetition marker).
+
+    Docs too short for an n-gram score 0.  One shuffle per n (the
+    groupBy on (doc, gram)); map-side partial aggregation keeps the
+    shuffle bounded by distinct grams per doc."""
+    toks = F.split(F.col(text_col), " ")
+
+    def gram_counts(n: int) -> DataFrame:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+            .groupBy("doc", "g").agg(F.count("*").alias("cnt"))
+        )
+
+    s2 = gram_counts(2).groupBy("doc").agg(
+        F.max("cnt").alias("top2"), F.sum("cnt").alias("tot2")
+    )
+    s3 = gram_counts(3).groupBy("doc").agg(
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup3"),
+        F.sum("cnt").alias("tot3"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(s2, "doc", "left")
+        .join(s3, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.floor(F.col("top2") * 1_000_000 / F.col("tot2")), F.lit(0))
+            .cast("long").alias("top2_frac_micro"),
+            F.coalesce(F.floor(F.col("dup3") * 1_000_000 / F.col("tot3")), F.lit(0))
+            .cast("long").alias("dup3_frac_micro"),
+        )
+    )
+
+
 # ------------------------------------------------------------- winnowing
 def winnow_fingerprints_py(
     text: str, k: int = 5, w: int = 4, hash_kind: str = "rolling"
