@@ -56,6 +56,23 @@ def main() -> int:
     ap.add_argument("--salt-buckets", type=int, default=4)
     ap.add_argument("--max-rounds", type=int, default=64)
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--seen-filter", choices=["bloom", "cuckoo", "none"], default=None,
+        help="seen-set pre-filter backend (default: bloom unless --no-bloom)",
+    )
+    ap.add_argument(
+        "--charset-sniff", action="store_true",
+        help="P11: sniff charset (BOM + meta prescan) per page and transcode",
+    )
+    ap.add_argument(
+        "--broadcast-max-rows", type=int, default=4_000_000,
+        help="fetch-join build-side gate: above this, no broadcast hint",
+    )
+    ap.add_argument(
+        "--wide-results", action="store_true",
+        help="also write results_wide_<task> tables (one column per "
+             "ItemField, the reference sink's schema)",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None, help="local[N]; omit on a cluster")
     args = ap.parse_args()
@@ -73,11 +90,20 @@ def main() -> int:
         round_seconds=args.round_seconds,
         salt_buckets=args.salt_buckets,
         use_bloom=not args.no_bloom,
+        seen_filter=args.seen_filter,
+        charset_sniff=args.charset_sniff,
+        broadcast_max_rows=args.broadcast_max_rows,
         max_rounds=args.max_rounds,
     )
     cat = Catalog(args.warehouse)
     t0 = time.time()
     state = engine.run_crawl(spark, cat, cfg, do_resume=args.resume)
+    if args.wide_results and cat.exists("results"):
+        results = cat.read(spark, "results")
+        for tname, task in cfg.tasks.items():
+            wide = engine.results_wide(results, task)
+            if wide.columns[:-2]:  # only tasks with ItemFields
+                cat.write_counted(wide, f"results_wide_{tname}", mode="overwrite")
     out = {
         "finished": state["finished"],
         "rounds": state["round"],
