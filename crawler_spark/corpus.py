@@ -79,11 +79,23 @@ def _finish(df: DataFrame, kind: str, lang: str = "zh") -> DataFrame:
     )
 
 
+def robots_dict_for_hosts(n_hosts: int) -> dict[str, tuple[float | None, list[str]]]:
+    """Closed-form twin of the generated robots pages (oracle input)."""
+    out: dict[str, tuple[float | None, list[str]]] = {}
+    for h in range(0, n_hosts, 2):
+        out[f"host{h:03d}.example.test"] = (
+            12.0 if h % 4 == 0 else None,
+            ["/detail/"],
+        )
+    return out
+
+
 def generate_pages(
     spark: SparkSession,
     n_hosts: int = 8,
     n_filler: int = 0,
     partitions: int | None = None,
+    robots: bool = False,
 ) -> DataFrame:
     """Build the corpus DataFrame (url, warc_ts, html, text, lang, kind)."""
     p = partitions or spark.sparkContext.defaultParallelism
@@ -248,6 +260,25 @@ def generate_pages(
         _finish(topic, "topic"),
     ]
 
+    if robots:
+        # one /robots.txt per even host: a decoy group for another agent
+        # (must be skipped), then the wildcard group — Disallow /detail/
+        # for every even host, Crawl-delay 12 for every 4th host.  The
+        # closed form is mirrored by tests (robots_dict_for_hosts).
+        rhosts = hosts.where(F.col("h") % 2 == 0)
+        rbody = F.concat(
+            F.lit("# synthetic robots\nUser-agent: fancybot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /detail/\n"),
+            F.when(F.col("h") % 4 == 0, F.lit("Crawl-delay: 12\n")).otherwise(F.lit("")),
+        )
+        rdf = rhosts.select(
+            F.concat(_base(F.col("h")), F.lit("/robots.txt")).alias("url"),
+            rbody.alias("page_str"),
+            F.lit("").alias("text"),
+            (F.col("h") * 1000 + 900).alias("ord"),
+        )
+        parts.append(_finish(rdf, "robots", lang="en"))
+
     # ---------------------------------------------------------- filler
     if n_filler > 0:
         filler = spark.range(0, n_filler, 1, p).withColumnRenamed("id", "i")
@@ -318,7 +349,7 @@ def with_gbk_reencoding(df: DataFrame) -> DataFrame:
 
 def write_corpus(
     spark: SparkSession, path: str, n_hosts: int = 8, n_filler: int = 0,
-    gbk: bool = False,
+    gbk: bool = False, robots: bool = False,
 ) -> None:
     """Write the corpus hash-distributed by url across all files.
 
@@ -328,7 +359,7 @@ def write_corpus(
     on ~1/4 of the cores (measured).  Real WARC archives interleave page
     types, and the same lesson holds at 100 TB: keep per-file work
     uniform, or the scan's critical path is the skewed file."""
-    df = generate_pages(spark, n_hosts, n_filler)
+    df = generate_pages(spark, n_hosts, n_filler, robots=robots)
     if gbk:
         df = with_gbk_reencoding(df)
     df = df.drop("kind")

@@ -94,6 +94,10 @@ class CrawlConfig:
     # P11: sniff charset (BOM + meta prescan, first 1 KiB) per page and
     # transcode, instead of assuming the corpus is UTF-8
     charset_sniff: bool = False
+    # parse <host>/robots.txt rows out of the pages table itself at
+    # bootstrap (politeness.parse_robots_pages) instead of requiring a
+    # pre-built robots parquet; robots_path wins when both are set
+    robots_from_corpus: bool = False
     # fetch-join build-side gate: broadcast the scheduled set only while
     # its row count stays under this; beyond it (10^7-host crawls with
     # big budgets) fall back to a shuffle join and let AQE/statistics
@@ -515,9 +519,21 @@ def run_crawl(
                 cat, spark, rebuild_from=None,
             )
     pages_prepared = prepare_pages(spark.read.parquet(cfg.pages_path))
-    robots_df = (
-        spark.read.parquet(cfg.robots_path) if cfg.robots_path else None
-    )
+    robots_df: DataFrame | None = None
+    if cfg.robots_path:
+        robots_df = spark.read.parquet(cfg.robots_path)
+    elif cfg.robots_from_corpus:
+        # one corpus pass at bootstrap; the result is one row per host
+        # with a robots file — tiny, so pin it driver-side instead of
+        # rescanning the corpus every round's apply_robots broadcast
+        from .politeness import parse_robots_pages
+
+        rows = parse_robots_pages(spark.read.parquet(cfg.pages_path)).collect()
+        if rows:
+            robots_df = spark.createDataFrame(
+                rows,
+                "host string, crawl_delay_s double, disallow_prefixes array<string>",
+            )
     while not state["finished"] and state["round"] < cfg.max_rounds:
         state = run_round(spark, cat, cfg, state, pages_prepared, robots_df, cuckoo)
     return state

@@ -239,6 +239,50 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _fake_audio_media(spark, sf_dir):
+    """Deterministic audio payloads keyed by doc_id (sample_rate and
+    n_samples closed-form in doc_id, so DuckDB can oracle the full
+    resample -> decode chain)."""
+    import pyspark.sql.types as T
+
+    from .functions import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                multimodal.fake_audio(
+                    8000 + (int(i) % 5) * 2000, 1000 + int(i) % 500
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pdf
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return docs.mapInPandas(gen, schema=schema)
+
+
+def q_audio_resample(spark, sf_dir):
+    """binary audio -> resample_stub(16 kHz) -> header decode: the
+    audio-modality plumbing chain (gen -> rewrite -> parse, two Arrow
+    round-trips), metadata closed-form in doc_id for the oracle."""
+    from .functions import multimodal
+
+    out = multimodal.decode_audio_meta(
+        multimodal.resample_stub(_fake_audio_media(spark, sf_dir), target_rate=16000)
+    )
+    return out.select(
+        "doc_id",
+        F.col("ameta.sample_rate").alias("sample_rate"),
+        F.col("ameta.n_samples").alias("n_samples"),
+        F.col("ameta.duration_ms").alias("duration_ms"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):  # queries-only (1->N binary expansion)
     from .functions import multimodal
 
@@ -358,6 +402,7 @@ QUERIES = {
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
+    "audio_resample": q_audio_resample,
 }
 
 # =====================================================================
@@ -686,6 +731,22 @@ ORACLES = {
     """,
     "simhash_pairs": _simhash_md5_oracle(max_hamming=8),
     "winnow_fingerprints": _winnow_oracle(k=5, w=4),
+    "audio_resample": """
+        -- payload closed-form in doc_id: sr = 8000 + (doc_id%5)*2000,
+        -- ns = 1000 + doc_id%500; resample to 16 kHz rescales
+        -- n_samples by integer ratio, duration from the new header
+        with m as (
+          select doc_id,
+                 8000 + (doc_id % 5) * 2000 as sr,
+                 1000 + doc_id % 500 as ns
+          from documents
+        )
+        select doc_id,
+               cast(16000 as int) as sample_rate,
+               cast((ns * 16000) // sr as bigint) as n_samples,
+               cast(((ns * 16000) // sr) * 1000 // 16000 as bigint) as duration_ms
+        from m
+    """,
     "frame_sample": """
         -- payload is closed-form in doc_id (fake_image header 16 bytes +
         -- min(64, w*h) body; w,h >= 32 so the body is always 64 bytes ->

@@ -110,6 +110,86 @@ def resize_stub(df: DataFrame, target_w: int, target_h: int,
     return df.mapInPandas(run, schema=out_schema)
 
 
+FAKE_AUDIO_MAGIC = b"FAUD"
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def fake_audio(sample_rate: int, n_samples: int, n_channels: int = 1) -> bytes:
+    """Deterministic synthetic audio payload: FAUD header + sample filler
+    (2 bytes/sample, capped — headers are what the plumbing tests need)."""
+    header = FAKE_AUDIO_MAGIC + struct.pack("<IIQ", sample_rate, n_channels, n_samples)
+    body = bytes((sample_rate + i * 7) % 251 for i in range(min(128, 2 * n_samples)))
+    return header + body
+
+
+def decode_audio_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
+    """Adds ``ameta struct<sample_rate,n_channels,n_samples,duration_ms,
+    codec>`` by parsing payload headers in Arrow batches.  Production
+    swap-in: soundfile/torchaudio header read in the same mapInPandas
+    shape (batch in, batch out, schema fixed)."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("ameta", AUDIO_META_SCHEMA)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for raw in pdf[bin_col]:
+                raw = bytes(raw) if raw is not None else b""
+                if raw[:4] == FAKE_AUDIO_MAGIC and len(raw) >= 20:
+                    sr, ch, ns = struct.unpack("<IIQ", raw[4:20])
+                    metas.append(
+                        {"sample_rate": sr, "n_channels": ch, "n_samples": ns,
+                         "duration_ms": (ns * 1000) // max(sr, 1), "codec": "faud"}
+                    )
+                else:
+                    metas.append(
+                        {"sample_rate": None, "n_channels": None,
+                         "n_samples": None, "duration_ms": None,
+                         "codec": "unknown"}
+                    )
+            pdf = pdf.copy()
+            pdf["ameta"] = metas
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resample_stub(df: DataFrame, target_rate: int, bin_col: str = "payload") -> DataFrame:
+    """Audio resample plumbing: rewrites the header to the target rate
+    with n_samples rescaled by the rate ratio in exact integer arithmetic
+    (production: actual polyphase resample in the same UDF shape)."""
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fixed = []
+            for raw in pdf[bin_col]:
+                raw = bytes(raw) if raw is not None else b""
+                if raw[:4] == FAKE_AUDIO_MAGIC and len(raw) >= 20:
+                    sr, ch, ns = struct.unpack("<IIQ", raw[4:20])
+                    new_ns = (ns * target_rate) // max(sr, 1)
+                    fixed.append(
+                        FAKE_AUDIO_MAGIC
+                        + struct.pack("<IIQ", target_rate, ch, new_ns)
+                        + raw[20:]
+                    )
+                else:
+                    fixed.append(raw)
+            pdf = pdf.copy()
+            pdf[bin_col] = fixed
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int, bin_col: str = "payload",
                       id_col: str = "media_id") -> DataFrame:
     """Video frame sampling plumbing: emits (media_id, frame_no, frame)

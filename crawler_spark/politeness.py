@@ -57,6 +57,102 @@ def budget_col(tasks: dict[str, Task], round_seconds: float) -> F.Column:
     return F.element_at(F.create_map(*kv), F.col("task_name"))
 
 
+def parse_robots_py(text: str, user_agent: str = "*") -> tuple[float | None, list[str]]:
+    """Minimal deterministic robots.txt parser (RFC 9309 subset): group
+    headers of stacked User-agent lines, then Disallow / Crawl-delay
+    records applying to every UA in the header.  Group selection follows
+    the RFC: if any group names ``user_agent`` specifically, ONLY those
+    groups apply; otherwise the '*' groups do.  Comments (#) and blank
+    lines ignored; empty Disallow (allow-all) ignored; non-numeric
+    Crawl-delay ignored.  Returns (crawl_delay_s | None,
+    [disallow_prefixes])."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    cur_uas: list[str] = []
+    records: list[tuple[str, str]] = []
+    in_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_header:
+                if cur_uas:
+                    groups.append((cur_uas, records))
+                cur_uas, records = [], []
+            cur_uas.append(val.lower())
+            in_header = True
+        else:
+            in_header = False
+            records.append((key, val))
+    if cur_uas:
+        groups.append((cur_uas, records))
+
+    ua = user_agent.lower()
+    chosen = [g for g in groups if ua != "*" and ua in g[0]]
+    if not chosen:
+        chosen = [g for g in groups if "*" in g[0]]
+    delay: float | None = None
+    prefixes: list[str] = []
+    for _, recs in chosen:
+        for key, val in recs:
+            if key == "disallow" and val:
+                prefixes.append(val)
+            elif key == "crawl-delay":
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+    return delay, prefixes
+
+
+def parse_robots_pages(
+    pages: DataFrame, user_agent: str = "*", text_col: str = "html"
+) -> DataFrame:
+    """Robots table straight from the corpus: filter ``*/robots.txt``
+    rows, parse each body (Arrow-batched; robots files are tiny and one
+    per host, so this is a negligible side input), return
+    (host, crawl_delay_s, disallow_prefixes) — the schema
+    ``apply_robots`` consumes.  The reference has no robots support at
+    all; this supplies the north_rule's robots cache table from the same
+    pages source the fetch join reads."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from .urlnorm import host_col
+
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("crawl_delay_s", T.DoubleType()),
+            T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+        ]
+    )
+    robots = pages.where(
+        F.col("url").rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+/robots\.txt$")
+    ).select(host_col(F.col("url")).alias("host"), F.col(text_col).alias("body"))
+
+    def run(batches):
+        for pdf in batches:
+            hosts, delays, prefs = [], [], []
+            for h, b in zip(pdf["host"], pdf["body"]):
+                raw = bytes(b) if isinstance(b, (bytes, bytearray, memoryview)) else (
+                    b.encode("utf-8") if b is not None else b""
+                )
+                d, p = parse_robots_py(raw.decode("utf-8", errors="replace"), user_agent)
+                hosts.append(h)
+                delays.append(d)
+                prefs.append(p)
+            yield pd.DataFrame(
+                {"host": hosts, "crawl_delay_s": delays, "disallow_prefixes": prefs}
+            )
+
+    return robots.mapInPandas(run, schema=schema)
+
+
 def apply_robots(
     candidates: DataFrame, robots: DataFrame | None, round_seconds: float
 ) -> DataFrame:
