@@ -187,6 +187,52 @@ def ann_topk_ivf(
     return brute_topk(cells, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def ivf_build_index(
+    emb: DataFrame, n_centroids: int = 16, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> tuple[np.ndarray, DataFrame]:
+    """Train-once IVF index: returns (centroids, assigned) where
+    ``assigned`` = emb + ``cell`` int column.  The 100 TB lifecycle is:
+    write ``assigned`` partitioned/bucketed BY cell (one directory per
+    cell -> a probe is partition pruning at the scan), store the
+    centroids via :func:`centroids_to_df` in a tiny side table, and
+    serve every query through :func:`ann_topk_ivf_indexed` — training
+    cost is paid once, not per query (ann_topk_ivf retrains per call
+    and exists as the self-contained contract shape)."""
+    C = ivf_train(emb, n_centroids, n_iter, id_col, vec_col, seed)
+    assigned = emb.withColumn("cell", ivf_assign_col(vec_col, C))
+    return C, assigned
+
+
+def centroids_to_df(spark, centroids: np.ndarray) -> DataFrame:
+    """(cell, centroid array<double>) — the persistable quantizer."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "cell int, centroid array<double>")
+
+
+def centroids_from_df(df: DataFrame) -> np.ndarray:
+    rows = sorted(df.collect(), key=lambda r: r.cell)
+    return np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+
+
+def ann_topk_ivf_indexed(
+    assigned: DataFrame, centroids: np.ndarray, query_vec: list[float],
+    k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_probe: int = 4, exclude_id: int | None = None,
+) -> DataFrame:
+    """Query path against a pre-built index: rank cells by centroid
+    cosine, filter ``cell`` to the n_probe nearest (partition pruning
+    when the index table is partitioned by cell), brute-force inside."""
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
+    cand = assigned.where(F.col("cell").isin(probe))
+    return brute_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
 def cosine_neardup_pairs_lsh(
     emb: DataFrame, dim: int, threshold_micro: int = 900_000,
     id_col: str = "vec_id", vec_col: str = "embedding",

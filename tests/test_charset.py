@@ -34,3 +34,32 @@ def test_gbk_round_trip():
 def test_malformed_bytes_replace_not_raise():
     out = sniff_decode_py(b'<meta charset="gbk">\xff\xff\x81')
     assert "�" in out or out  # replacement, never an exception
+
+
+def test_sniff_never_raises_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=2048))
+    def run(raw):
+        out = sniff_decode_py(raw)
+        assert isinstance(out, str)
+
+    run()
+
+
+def test_parse_robots_never_raises_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_spark.politeness import parse_robots_py
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=2048))
+    def run(txt):
+        delay, prefixes = parse_robots_py(txt)
+        assert delay is None or isinstance(delay, float)
+        assert all(isinstance(p, str) and p for p in prefixes)
+
+    run()
