@@ -66,6 +66,37 @@ def test_extraction_matches_golden_text(spark):
     assert checked == 5 * (1 + corpus.N_TAGS + corpus.N_DETAILS + corpus.N_GROUPS + corpus.N_TOPICS)
 
 
+def test_extraction_matches_golden_text_gbk_sniff(spark):
+    """P11 invariant: the GBK-re-encoded subset must extract
+    byte-identically through sniff_decode (the golden text column is
+    encoding-independent)."""
+    from crawler_spark.charset import sniff_decode_col
+
+    pages = corpus.with_gbk_reencoding(
+        corpus.generate_pages(spark, n_hosts=4, n_filler=0)
+    )
+    pages = pages.withColumn("body", sniff_decode_col(F.col("html")))
+    # the re-encoding really hit a subset
+    n_gbk = pages.where(F.substring(F.col("html"), 1, 5) == F.lit(b"<meta")).count()
+    assert n_gbk > 0
+    tasks = rules.synthetic_tasks(n_book_hosts=4, n_sun_hosts=4)
+    for kind, (tname, rname) in KIND_TO_RULE.items():
+        rule = tasks[tname].rules[rname]
+        branch = pages.where(F.col("kind") == kind).withColumn(
+            "tmp", F.lit(None).cast("map<string,string>")
+        )
+        parsed = parsers.apply_rule_sql(branch, rule, body_col="body")
+        if isinstance(rule, rules.FieldsRule):
+            ext = F.concat_ws(
+                "\n", *[F.element_at(F.col("data"), f.name) for f in rule.fields]
+            )
+        else:
+            ext = _extraction_col(rule)
+        bad = parsed.withColumn("_ext", ext).where(F.col("_ext") != F.col("text"))
+        rows = bad.select("url", "text", "_ext").limit(3).collect()
+        assert not rows, f"{kind}: extraction != golden under GBK, e.g. {rows}"
+
+
 def test_corpus_is_deterministic(spark):
     a = corpus.generate_pages(spark, n_hosts=3, n_filler=20)
     b = corpus.generate_pages(spark, n_hosts=3, n_filler=20)
