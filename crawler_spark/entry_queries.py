@@ -159,6 +159,15 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over events (6 h gap): the batch window
+    kernel; its applyInPandasWithState streaming twin is asserted equal
+    in tests/test_sessions.py."""
+    from .functions import sessions
+
+    return sessions.sessionize(_events(spark, sf_dir), gap_seconds=21600)
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition quality signals (top-2gram fraction,
     duplicate-3gram fraction) — all built-in SQL, micro fixed-point."""
@@ -390,6 +399,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
+    "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -676,6 +686,29 @@ ORACLES = {
         select doc_id,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
         from documents
+    """,
+    "sessionize": """
+        with e as (
+          -- floor, not cast: DuckDB's double->bigint cast rounds while
+          -- Spark's unix_timestamp truncates sub-second fractions
+          select user_id, event_id as eid, cast(floor(epoch(ts)) as bigint) as s
+          from events
+        ),
+        m as (
+          select user_id, eid, s,
+                 case when lag(s) over w is null or s - lag(s) over w > 21600
+                      then 1 else 0 end as brk
+          from e window w as (partition by user_id order by s, eid)
+        ),
+        g as (
+          select user_id, s,
+                 sum(brk) over (partition by user_id order by s, eid
+                                rows unbounded preceding) as session_no
+          from m
+        )
+        select user_id, cast(session_no as bigint) as session_no,
+               count(*) as n_events, min(s) as start_s, max(s) as end_s
+        from g group by user_id, session_no
     """,
     "repetition_scores": """
         with toks as (select doc_id, string_split(text, ' ') as t from documents),

@@ -87,16 +87,72 @@ def items_per_window(
     )
 
 
+def sessionize_stream(
+    events_stream: DataFrame, gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming gap-sessionization — the custom stateful operator shape
+    (applyInPandasWithState): state per user_id holds the accumulated
+    (epoch_s, event_id) pairs; each micro-batch folds its rows in and
+    re-emits that user's sessions (output mode 'update').  The session
+    algebra itself is the shared pure function sessions.sessionize_py,
+    so the streaming operator and the batch window-SQL kernel
+    (sessions.sessionize) cannot drift — equality is asserted in tests.
+
+    Production notes: state grows with a user's history — a real
+    deployment adds an event-time timeout (GroupStateTimeout.
+    EventTimeTimeout + watermark) to close and evict idle sessions,
+    exactly where this state would be trimmed to only the open session.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .functions.sessions import sessionize_py
+
+    out_schema = (
+        "user_id long, session_no long, n_events long, start_s long, end_s long"
+    )
+    state_schema = "ss array<long>, es array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        pairs: list[tuple[int, int]] = []
+        if state.exists:
+            ss, es = state.get
+            pairs = list(zip(ss, es))
+        for pdf in pdfs:
+            epoch = pd.to_datetime(pdf["ts"]).astype("int64") // 10**9
+            pairs.extend(
+                (int(s), int(e)) for s, e in zip(epoch, pdf["event_id"])
+            )
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
+        sess = sessionize_py(pairs, gap_seconds)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sess),
+                "session_no": [s[0] for s in sess],
+                "n_events": [s[1] for s in sess],
+                "start_s": [s[2] for s in sess],
+                "end_s": [s[3] for s in sess],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(
-    df: DataFrame, query_name: str, timeout_sec: float = 120.0
+    df: DataFrame, query_name: str, timeout_sec: float = 120.0,
+    mode: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into an
     in-memory sink and return the materialized result.  AvailableNow
     processes everything currently committed then stops — the streaming
     twin of a batch read, which is what makes the batch-vs-stream
-    equivalence testable."""
+    equivalence testable.  ``mode`` overrides the inferred output mode
+    (stateful operators declare their own: sessionize_stream -> 'update')."""
     spark = df.sparkSession
-    mode = "complete" if df.isStreaming and _has_aggregate(df) else "append"
+    if mode is None:
+        mode = "complete" if df.isStreaming and _has_aggregate(df) else "append"
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
