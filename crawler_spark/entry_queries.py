@@ -159,6 +159,15 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified sampling: 30% of source-A-like
+    strata, 10% default — the reproducible corpus-sampling primitive."""
+    docs = _docs(spark, sf_dir)
+    sources = sorted(r.source for r in docs.select("source").distinct().collect())
+    fractions = {s: (0.3 if i % 2 == 0 else 0.1) for i, s in enumerate(sources)}
+    return textops.sample_stratified(docs, fractions).select("doc_id", "source")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization over events (6 h gap): the batch window
     kernel; its applyInPandasWithState streaming twin is asserted equal
@@ -400,6 +409,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
     "sessionize": q_sessionize,
+    "stratified_sample": q_stratified_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -686,6 +696,21 @@ ORACLES = {
         select doc_id,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
         from documents
+    """,
+    "stratified_sample": """
+        with src as (
+          select source, row_number() over (order by source) - 1 as i
+          from (select distinct source from documents)
+        ),
+        cut as (
+          select source,
+                 case when i % 2 = 0 then 300000 else 100000 end as cut
+          from src
+        )
+        select d.doc_id, d.source
+        from documents d join cut using (source)
+        where cast(concat('0x', substr(md5('sample|' || cast(d.doc_id as varchar)), 1, 8))
+                   as bigint) % 1000000 < cut.cut
     """,
     "sessionize": """
         with e as (

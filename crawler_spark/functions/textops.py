@@ -90,6 +90,35 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# ------------------------------------------------------------- sampling
+def hash_bucket_micro(key: Column, seed: str = "sample") -> Column:
+    """Deterministic uniform bucket in [0, 1e6) from a row key: first 8
+    hex chars of md5(seed|key) mod 1e6.  md5 (not xxhash) so DuckDB
+    reproduces the exact sample — the same oracle trade as the MinHash
+    signatures.  Production swap: xxhash64 for speed, same call sites."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed + "|"), key.cast("string"))), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(1_000_000))
+
+
+def sample_stratified(
+    df: DataFrame, fractions: dict[str, float],
+    strat_col: str = "source", key_col: str = "doc_id",
+    seed: str = "sample", default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash
+    bucket < fraction(stratum) * 1e6.  Unlike ``df.sample``, the kept
+    set is a pure function of (key, seed) — stable across reruns,
+    partitionings, and engines (re-ingesting a 100 TB corpus yields the
+    identical sample), and joins/anti-joins against other tables sampled
+    with the same seed stay consistent.  Scan-local: no shuffle."""
+    kv = []
+    for s, frac in fractions.items():
+        kv += [F.lit(s), F.lit(int(frac * 1_000_000))]
+    cut = F.coalesce(
+        F.element_at(F.create_map(*kv), F.col(strat_col)),
+        F.lit(int(default_fraction * 1_000_000)),
+    )
+    return df.where(hash_bucket_micro(F.col(key_col), seed) < cut)
 # ----------------------------------------------------------- repetition
 def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
