@@ -59,3 +59,30 @@ def test_stop_and_resume_identical(spark, tmp_path):
         state2 = engine.run_round(spark, cat_b, cfg, state2, pages_prepared, None)
 
     assert _snapshot_tables(spark, cat_b) == want
+
+
+def test_stop_and_resume_identical_cuckoo(spark, tmp_path):
+    """Resume with the long-lived cuckoo seen-filter: run_crawl rebuilds
+    the filter from the seen table on resume; final tables must equal
+    the uninterrupted run's."""
+    pages_path = str(tmp_path / "pages")
+    corpus.write_corpus(spark, pages_path, n_hosts=3, n_filler=10)
+    tasks = rules.synthetic_tasks(n_book_hosts=3, n_sun_hosts=2)
+
+    def cfg(max_rounds=64):
+        return engine.CrawlConfig(
+            tasks=tasks, pages_path=pages_path, round_seconds=12.0,
+            use_bloom=True, salt_buckets=2, seen_filter="cuckoo",
+            bloom_min_seen=1, max_rounds=max_rounds,
+        )
+
+    cat_a = Catalog(str(tmp_path / "wh_a"))
+    engine.run_crawl(spark, cat_a, cfg())
+    want = _snapshot_tables(spark, cat_a)
+
+    cat_b = Catalog(str(tmp_path / "wh_b"))
+    state = engine.run_crawl(spark, cat_b, cfg(max_rounds=2))
+    assert not state["finished"]
+    state2 = engine.run_crawl(spark, cat_b, cfg(), do_resume=True)
+    assert state2["finished"]
+    assert _snapshot_tables(spark, cat_b) == want
