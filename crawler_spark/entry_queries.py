@@ -16,10 +16,11 @@ Mapping to SURVEY.md §2 operator inventory:
   regex_field_extract P5/P6 first-submatch ExtraString semantics
   per_source_agg     per-host metrics aggregation (K1 routing shape)
 plus training-data ops: text_quality, lang_id, fingerprint,
-repetition_scores, dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
-simhash_pairs, winnow_fingerprints, multimodal_decode, frame_sample,
-ann_brute_topk, ann_lsh_topk, ann_ivf_topk, cosine_neardup,
-cosine_neardup_lsh — every
+repetition_scores, stratified_sample, sessionize (batch kernel of the
+stateful-streaming twin), dedup_exact, dedup_ngram_jaccard,
+dedup_minhash_lsh, simhash_pairs, winnow_fingerprints,
+multimodal_decode, frame_sample, audio_resample, ann_brute_topk,
+ann_lsh_topk, ann_ivf_topk, cosine_neardup, cosine_neardup_lsh — every
 query has a DuckDB oracle (the md5-slice hashing trick makes simhash /
 winnow / minhash reproducible; full-probe equivalence and a measured
 recall-1.0 probe ball make the pruned ANN paths brute-force-checkable).

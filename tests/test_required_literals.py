@@ -66,3 +66,55 @@ def test_counted_quantifier_body_is_not_a_literal():
         assert m
         for lit in required_literals(pat):
             assert lit in example, f"{lit!r} not in example for {pat}"
+
+
+def test_guard_preserves_matches_fuzz(spark=None):
+    """Differential fuzz (no Spark needed): for random patterns built
+    from literal runs + quantifiers + groups + classes, every string
+    that matches the pattern must contain every required literal —
+    guard AND rlike == rlike for ANY user pattern, the invariant the
+    {n,m} bug broke."""
+    import random
+    import re as _re
+
+    rng = random.Random(42)
+    pieces = ["foo", "bar", "qux", "阳台", "a", "xy"]
+    quants = ["", "?", "*", "+", "{2}", "{0,3}", "{1,}"]
+
+    def rand_pattern():
+        out = []
+        for _ in range(rng.randint(2, 6)):
+            kind = rng.random()
+            if kind < 0.5:
+                out.append(rng.choice(pieces))
+            elif kind < 0.7:
+                out.append("." + rng.choice(quants))
+            elif kind < 0.85:
+                out.append("(" + rng.choice(pieces) + ")" + rng.choice(quants))
+            else:
+                out.append("[a-z]" + rng.choice(quants))
+        return "".join(out)
+
+    from crawler_spark.parsers import required_literals
+
+    checked = 0
+    for _ in range(300):
+        pat = rand_pattern()
+        try:
+            cre = _re.compile(pat)
+        except _re.error:
+            continue
+        lits = required_literals(pat)
+        # build candidate strings: random fillers around the pattern's
+        # own pieces; only MATCHING strings constrain the guard
+        for _ in range(20):
+            s = "".join(
+                rng.choice(pieces + ["z", "09", " ", "qq"])
+                for _ in range(rng.randint(0, 8))
+            )
+            m = cre.search(s)
+            if m:
+                for lit in lits:
+                    assert lit in s, (pat, lits, s)
+                checked += 1
+    assert checked > 100  # the fuzz actually exercised matching strings
