@@ -160,6 +160,25 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> visible text over a deterministic template wrap: the
+    correct extraction is closed-form (text + '\\ntail & end'), so the
+    oracle checks the whole strip/entity/whitespace chain against an
+    INDEPENDENT expectation rather than a regex twin."""
+    wrapped = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p{x:1}</style></head><body><div class="a">'),
+            F.col("text"),
+            F.lit("</div><script>var x = '<p>ignore</p>';</script>"
+                  "<p>tail &amp; end</p></body></html>"),
+        ).alias("h"),
+    )
+    return wrapped.select(
+        "doc_id", textops.html_to_text(F.col("h")).alias("vis")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic hash-stratified sampling: 30% of source-A-like
     strata, 10% default — the reproducible corpus-sampling primitive."""
@@ -411,6 +430,7 @@ QUERIES = {
     "repetition_scores": q_repetition_scores,
     "sessionize": q_sessionize,
     "stratified_sample": q_stratified_sample,
+    "html_extract": q_html_extract,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -696,6 +716,13 @@ ORACLES = {
     "fingerprint": r"""
         select doc_id,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
+        from documents
+    """,
+    "html_extract": """
+        -- closed-form: the template's visible text is the doc text, a
+        -- newline from the </div> block break, then 'tail & end'
+        -- (documents.text is verified markup-free at generation)
+        select doc_id, text || chr(10) || 'tail & end' as vis
         from documents
     """,
     "stratified_sample": """

@@ -90,6 +90,90 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# ------------------------------------------------- html -> visible text
+_HTML_STRIP_STEPS = (
+    # kill script/style/comment blocks wholesale (lazy, dotall via [\s\S])
+    (r"(?i)<script[\s\S]*?</script\s*>", " "),
+    (r"(?i)<style[\s\S]*?</style\s*>", " "),
+    (r"<!--[\s\S]*?-->", " "),
+    # block-level closers become newlines so words don't concatenate
+    (r"(?i)</(p|div|li|tr|h[1-6]|br|td)\s*>|<br\s*/?>", "\n"),
+    # every remaining tag vanishes
+    (r"<[^>]+>", " "),
+)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible-text extraction (the boilerplate-strip step of a
+    crawl-to-corpus pipeline), entirely built-in SQL: drop script/style/
+    comment blocks, break on block tags, strip remaining tags, decode
+    the common entities, collapse whitespace.  Deliberately a regex
+    pipeline, not a DOM parse — it runs inside whole-stage codegen on
+    10^10 pages; a DOM-accurate extractor (trafilatura et al.) is a
+    mapInPandas swap-in at the same call site.  Python twin:
+    :func:`html_to_text_py` (asserted equal in tests, incl. on the
+    reference's real fixture pages)."""
+    out = html
+    for pat, rep in _HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
+    out = F.regexp_replace(out, r" ?\n[ \n]*", "\n")
+    # regex trim, not F.trim: Spark's trim strips only spaces, while the
+    # Python twin's .strip() (and what callers want) also strips \n
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+def html_to_text_py(html: str) -> str:
+    """Pure-Python twin of :func:`html_to_text` (same regex pipeline)."""
+    import re
+
+    out = html
+    for pat, rep in _HTML_STRIP_STEPS:
+        out = re.sub(pat, rep, out)
+    for ent, rep in _HTML_ENTITIES:
+        out = out.replace(ent, rep)
+    out = re.sub(r"[ \t\r\f]+", " ", out)
+    out = re.sub(r" ?\n[ \n]*", "\n", out)
+    return out.strip()
+
+
+# ------------------------------------------------- compression quality
+def compression_ratio_micro(df: DataFrame, text_col: str = "text",
+                            out_col: str = "zratio_micro") -> DataFrame:
+    """Gopher-style compressibility signal: floor(1e6 * zlib_size /
+    raw_size) per doc (low ratio = highly repetitive text).  zlib level
+    6, deterministic across platforms for a given zlib version.  Arrow-
+    batched pandas UDF (no SQL-side zlib exists); rows-only — DuckDB has
+    no zlib either, so this op is verified by unit tests, not the
+    oracle gate."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            vals = []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                if not raw:
+                    vals.append(0)
+                else:
+                    vals.append(len(zlib.compress(raw, 6)) * 1_000_000 // len(raw))
+            pdf = pdf.copy()
+            pdf[out_col] = vals
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # ------------------------------------------------------------- sampling
 def hash_bucket_micro(key: Column, seed: str = "sample") -> Column:
     """Deterministic uniform bucket in [0, 1e6) from a row key: first 8
