@@ -190,9 +190,18 @@ def main() -> None:
     if not args.crawl_only:
         queries = bench_queries(spark, sf_dir)
     if not args.skip_crawl:
-        t0 = time.time()
-        crawl = bench_crawl(spark, corpus_path, cores)
-        queries["crawl_full"] = round(time.time() - t0, 3)
+        # best-of-CRAWL_BENCH_REPS, same rationale as the query reps
+        # (±2x VM noise); the corpus is generated once and reused, so
+        # rep 2 costs only the crawl itself
+        reps = int(os.environ.get("CRAWL_BENCH_REPS", "2"))
+        best = None
+        for _ in range(max(1, reps)):
+            t0 = time.time()
+            c = bench_crawl(spark, corpus_path, cores)
+            c_wall = round(time.time() - t0, 3)
+            if best is None or c["steady_urls_per_sec"] > best[0]["steady_urls_per_sec"]:
+                best = (c, c_wall)
+        crawl, queries["crawl_full"] = best
 
     total = round(sum(queries.values()), 3)
     out = {

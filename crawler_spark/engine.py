@@ -50,19 +50,11 @@ from .frontier import (
     assign_seq,
     children_from_parsed,
     seed_frontier,
-    with_url_identity,
 )
 from .parsers import dispatch_cols
 from .politeness import apply_robots, rank_by_budget
-from .rules import FieldsRule, LinkRule, MatchRule, Task
-from .schemas import (
-    FAILURES_SCHEMA,
-    FRONTIER_SCHEMA,
-    LINEAGE_SCHEMA,
-    METRICS_SCHEMA,
-    RESULTS_SCHEMA,
-    SEEN_SCHEMA,
-)
+from .rules import FieldsRule, LinkRule, Task
+from .schemas import LINEAGE_SCHEMA, METRICS_SCHEMA, SEEN_SCHEMA
 from .seen import dedup_candidates
 
 TABLES = [
@@ -249,7 +241,6 @@ def run_round(
 ) -> dict:
     round_no = state["round"] + 1
     t0 = time.time()
-    metrics: dict[str, float] = {}
 
     pending = cat.read(spark, "frontier_pending")
     seen_df = cat.read_or_empty(spark, "seen", SEEN_SCHEMA)
