@@ -185,19 +185,36 @@ class CuckooSeen:
         self.inserted = 0
 
     def add_keys(self, keys, cat, spark, rebuild_from: str | None = "seen") -> None:
+        """``rebuild_from`` names the table holding every previously
+        relevant key (the engine calls this after the round's seen
+        commit, so 'seen' + ``keys`` is the complete membership);
+        rebuild_from=None is only sound when ``keys`` alone is the full
+        set (the resume-time initial load)."""
         from .seen import Cuckoo
 
         ok = self.filter.add_many(keys)
         self.inserted += len(keys)
-        if ok < len(keys):  # overflow: rebuild at double capacity
-            self.filter = Cuckoo.sized(max(self.inserted * 2, 1024))
-            if rebuild_from and cat.exists(rebuild_from):
-                redo = [
-                    r.url_hash
-                    for r in cat.read(spark, rebuild_from).select("url_hash").collect()
-                ]
-                self.filter.add_many(redo)
-            self.filter.add_many(keys)
+        if ok == len(keys):
+            return
+        # Overflow: rebuild at doubling capacity until EVERY insert
+        # lands.  A cuckoo false negative (unlike a bloom one) would skip
+        # the exact anti-join and re-crawl a seen URL, so partial inserts
+        # are never acceptable.
+        redo: list[int] = []
+        if rebuild_from and cat.exists(rebuild_from):
+            redo = [
+                r.url_hash
+                for r in cat.read(spark, rebuild_from).select("url_hash").collect()
+            ]
+        cap = max(self.inserted * 2, 1024)
+        while True:
+            self.filter = Cuckoo.sized(cap)
+            if (
+                self.filter.add_many(redo) == len(redo)
+                and self.filter.add_many(keys) == len(keys)
+            ):
+                return
+            cap *= 2
 
     def delete_keys(self, keys) -> None:
         self.filter.delete_many(keys)

@@ -101,3 +101,31 @@ def test_dedup_candidates_cuckoo_exact(spark):
     )
     keys = sorted(r.url_hash for r in out.collect())
     assert keys == list(range(1, 100, 2))
+
+
+def test_cuckooseen_overflow_rebuild_keeps_all_keys(spark, tmp_path):
+    """Deliberately undersized CuckooSeen: after overflow the rebuild
+    must retain EVERY inserted key (a cuckoo false negative would skip
+    the exact anti-join and re-crawl a seen URL)."""
+    import numpy as np
+
+    from crawler_spark.catalog import Catalog
+    from crawler_spark.engine import CuckooSeen
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cs = CuckooSeen(capacity=16)  # floor-clamped to 1024 slots
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-(1 << 62), 1 << 62, size=5000, dtype=np.int64).tolist()
+    for i in range(0, len(keys), 500):
+        batch = keys[i : i + 500]
+        # engine contract: by maintenance time, every previously
+        # scheduled key is in the seen table the rebuild reads
+        if i:
+            cat.write_counted(
+                spark.createDataFrame([(k,) for k in keys[i - 500 : i]],
+                                      "url_hash long"),
+                "seen",
+            )
+        cs.add_keys(batch, cat, spark, rebuild_from="seen")
+    got = cs.filter.contains_many(np.array(keys, dtype=np.int64))
+    assert got.all(), f"{(~got).sum()} keys lost after overflow rebuild"
