@@ -371,6 +371,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     ).select("vec_id")
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch k-NN join: top-3 cosine neighbors for every 100th vector —
+    one corpus pass, per-partition top-k then a global prune (no
+    per-query scans)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.knn_join(emb, queries, k=3).select("q_id", "vec_id", "rank")
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Exact all-pairs near-dup at a moderate threshold — the ORACLE
     ANCHOR for the blocked variant below.  Deliberately O(n^2): moderate
@@ -437,6 +446,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "winnow_fingerprints": q_winnow,
     "ann_brute_topk": q_ann_brute_topk,
+    "knn_join": q_knn_join,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "cosine_neardup": q_cosine_neardup,
@@ -805,6 +815,27 @@ ORACLES = {
     # IVF probes every cell -> provably equal to brute force
     "ann_lsh_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_BRUTE_SQL,
+    "knn_join": """
+        -- DuckDB LATERAL cannot contain window functions: rank the
+        -- 3 survivors in an outer window instead
+        with nn as (
+          select q.vec_id as q_id, q.embedding as qe, t.vec_id, t.ee
+          from embeddings q, lateral (
+            select e.vec_id, e.embedding as ee
+            from embeddings e where e.vec_id <> q.vec_id
+            order by list_cosine_similarity(e.embedding, q.embedding) desc,
+                     e.vec_id asc
+            limit 3
+          ) t
+          where q.vec_id % 100 = 0
+        )
+        select q_id, vec_id,
+               cast(row_number() over (
+                 partition by q_id
+                 order by list_cosine_similarity(ee, qe) desc, vec_id asc
+               ) as int) as rank
+        from nn
+    """,
     "cosine_neardup": """
         select a.vec_id as id_a, b.vec_id as id_b
         from embeddings a join embeddings b on a.vec_id < b.vec_id

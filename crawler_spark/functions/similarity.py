@@ -16,7 +16,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -185,6 +185,81 @@ def ann_topk_ivf(
         F.col("_cell").isin(probe)
     )
     return brute_topk(cells, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def knn_join(
+    emb: DataFrame, queries: DataFrame, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "vec_id", q_vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch k-NN join: top-k corpus neighbors by cosine for EVERY query
+    vector — the retrieval / near-dup-lookup workhorse (one query at a
+    time is :func:`brute_topk`; this is its many-query shape).
+
+    The query matrix is collected + broadcast (Q x dim doubles — fine to
+    ~10^5 queries); each corpus partition BLAS-multiplies its Arrow
+    batch against ALL queries and keeps a per-partition top-k per query,
+    then a final groupBy prunes per-partition candidates to the global
+    top-k.  One corpus pass, shuffle bounded by Q x k x partitions rows.
+    Returns (q_id, vec_id, rank) with rank 1..k by (cos desc, id asc).
+    """
+    import pyspark.sql.types as T
+
+    qrows = queries.select(
+        F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cos_bits", T.LongType()),  # orderable double bits
+        ]
+    )
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, qm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            C = qm @ A.T  # (Q, batch)
+            if exclude_self:
+                C = np.where(a_ids[None, :] == qi[:, None], -np.inf, C)
+            kk = min(k, C.shape[1])
+            # per-partition candidates: top-k by (cos desc, id asc)
+            idx = np.lexsort((a_ids[None, :].repeat(len(qi), 0), -C), axis=1)[:, :kk]
+            rows_q = np.repeat(qi, kk)
+            rows_v = a_ids[idx].ravel()
+            rows_c = np.take_along_axis(C, idx, axis=1).ravel()
+            keep = np.isfinite(rows_c)
+            # IEEE-754 total-order transform: int64 keys whose signed
+            # order equals the doubles' numeric order (positive bits
+            # unchanged; negatives get their lower 63 bits flipped), so
+            # the JVM-side rank never re-touches floats
+            bits = rows_c[keep].view(np.int64).copy()
+            bits ^= (bits >> 63) & np.int64(0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame(
+                {"q_id": rows_q[keep], "vec_id": rows_v[keep], "cos_bits": bits}
+            )
+
+    cand = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(part_topk, schema=out_schema)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_bits"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("int").alias("rank"))
+    )
 
 
 def ivf_build_index(

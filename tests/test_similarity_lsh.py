@@ -102,3 +102,21 @@ def test_neardup_lsh_equals_exact_on_twins(spark, sf_dir):
     n = _emb(spark, sf_dir).count()
     planted = {(i, i + 1_000_000) for i in range(0, n, 5)}
     assert planted <= exact
+
+
+@needs_testdata
+def test_knn_join_matches_per_query_brute(spark):
+    """The batched one-pass k-NN join must equal running brute_topk once
+    per query (validates the partition-top-k -> global-prune merge)."""
+    emb = _emb(spark, SF001).repartition(7)  # force multi-partition merge
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    got = {}
+    for r in similarity.knn_join(emb, queries, k=5).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    for q in [r.vec_id for r in queries.select("vec_id").collect()]:
+        qv = list(emb.where(F.col("vec_id") == q).first().embedding)
+        brute = [
+            r.vec_id
+            for r in similarity.brute_topk(emb, qv, k=5, exclude_id=q).collect()
+        ]
+        assert [v for _, v in sorted(got[q])] == brute, q
