@@ -188,6 +188,20 @@ def q_stratified_sample(spark, sf_dir):
     return textops.sample_stratified(docs, fractions).select("doc_id", "source")
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The composed training-data pipeline: quality-filter (C4-style
+    keep) -> exact dedup (survivors only) -> deterministic 50% sample —
+    each stage is its own verified operator; this query checks they
+    compose (the shape a real corpus build runs end to end)."""
+    docs = _docs(spark, sf_dir)
+    quality = textops.quality_features(docs).where(F.col("keep"))
+    deduped = dedup.dedup_exact(quality, "doc_id").where(~F.col("is_dup"))
+    sampled = deduped.where(
+        textops.hash_bucket_micro(F.col("doc_id"), seed="clean") < 500_000
+    )
+    return sampled.select("doc_id", "source")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization over events (6 h gap): the batch window
     kernel; its applyInPandasWithState streaming twin is asserted equal
@@ -440,6 +454,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
+    "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -734,6 +749,27 @@ ORACLES = {
         -- (documents.text is verified markup-free at generation)
         select doc_id, text || chr(10) || 'tail & end' as vis
         from documents
+    """,
+    "corpus_clean": rf"""
+        with kept as (
+          select doc_id, source, text,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
+          from documents
+          where len(string_split_regex(text, '\s+')) >= 10
+            and length(text) >= 50
+            and floor(len(regexp_extract_all(lower(text), '{_STOP_RE}', 1))
+                      * 1000000.0
+                      / len(string_split_regex(text, '\s+'))) >= 10000
+        ),
+        survivors as (
+          select doc_id, source,
+                 row_number() over (partition by fp order by doc_id asc) as rn
+          from kept
+        )
+        select doc_id, source from survivors
+        where rn = 1
+          and cast(concat('0x', substr(md5('clean|' || cast(doc_id as varchar)), 1, 8))
+                   as bigint) % 1000000 < 500000
     """,
     "stratified_sample": """
         with src as (
