@@ -144,6 +144,75 @@ def q_per_source_agg(spark, sf_dir):
     )
 
 
+# -------------------------------------------- general relational surface
+# The reference has no relational queries, but the engine is a Spark
+# analytics surface — these exercise the classic OLAP shapes (multi-way
+# broadcast join, wide aggregation, JSON extraction) over the driver's
+# TPC-H-ish tables.  Determinism contract: money as per-row cents
+# (floor(x*100) — identical IEEE ops per row in both engines) summed as
+# int64, never a float aggregate.
+
+
+def _li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy wide aggregation with pushed-down
+    date filter and map-side partial aggregation."""
+    cents = lambda c: F.floor(c * 100).cast("long")  # noqa: E731
+    li = _li(spark, sf_dir).where(F.col("l_shipdate") <= F.lit("2001-06-01"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "sum_disc_cents"
+        ),
+        F.sum(
+            cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            )
+        ).alias("sum_charge_cents"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter -> broadcast join chain
+    -> revenue aggregation -> global top-10 (TakeOrderedAndProject)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("2000-01-01")
+    )
+    li = _li(spark, sf_dir).where(F.col("l_shipdate") > F.lit("2000-01-01"))
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull a typed value out of the events
+    JSON props column (get_json_object stays JVM-side)."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
 # --------------------------------------------------------- text analysis
 def q_text_quality(spark, sf_dir):
     out = textops.quality_features(_docs(spark, sf_dir))
@@ -448,6 +517,9 @@ QUERIES = {
     "rlike_filter": q_rlike_filter,
     "regex_field_extract": q_regex_field_extract,
     "per_source_agg": q_per_source_agg,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "json_extract": q_json_extract,
     "text_quality": q_text_quality,
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
@@ -710,6 +782,37 @@ ORACLES = {
                cast(sum(n_chars) as bigint) as sum_chars,
                max(n_chars) as max_chars, min(n_chars) as min_chars
         from documents group by source
+    """,
+    "pricing_summary": """
+        select l_returnflag, l_linestatus,
+               sum(cast(l_quantity as bigint)) as sum_qty,
+               sum(cast(floor(l_extendedprice * 100) as bigint)) as sum_base_cents,
+               sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint))
+                 as sum_disc_cents,
+               sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                        as bigint)) as sum_charge_cents,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= timestamp '2001-06-01'
+        group by l_returnflag, l_linestatus
+    """,
+    "shipping_priority": """
+        select o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') as orderdate,
+               o.o_orderpriority,
+               sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        as bigint)) as revenue_cents
+        from customer c
+        join orders o on o.o_custkey = c.c_custkey
+        join lineitem l on l.l_orderkey = o.o_orderkey
+        where c.c_mktsegment = 'BUILDING'
+          and o.o_orderdate < timestamp '2000-01-01'
+          and l.l_shipdate > timestamp '2000-01-01'
+        group by o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        order by revenue_cents desc, o.o_orderkey asc
+        limit 10
+    """,
+    "json_extract": """
+        select event_id, cast(props->>'k' as bigint) as k_val from events
     """,
     "text_quality": rf"""
         with base as (
