@@ -204,6 +204,21 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_source_rollup(spark, sf_dir):
+    """Grouping sets via ROLLUP, issued through the spark.sql STRING API
+    over a temp view (the SQL surface parity check — everything else in
+    the contract uses the DataFrame API)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql("""
+        select coalesce(source, 'ALL') as source_g,
+               coalesce(lang, 'ALL') as lang_g,
+               count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as sum_chars
+        from documents_v
+        group by rollup(source, lang)
+    """)
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed value out of the events
     JSON props column (get_json_object stays JVM-side)."""
@@ -520,6 +535,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "json_extract": q_json_extract,
+    "source_rollup": q_source_rollup,
     "text_quality": q_text_quality,
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
@@ -813,6 +829,14 @@ ORACLES = {
     """,
     "json_extract": """
         select event_id, cast(props->>'k' as bigint) as k_val from events
+    """,
+    "source_rollup": """
+        select coalesce(source, 'ALL') as source_g,
+               coalesce(lang, 'ALL') as lang_g,
+               count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as sum_chars
+        from documents
+        group by rollup(source, lang)
     """,
     "text_quality": rf"""
         with base as (
