@@ -148,6 +148,16 @@ def main() -> None:
         explain_str(QUERIES["winnow_fingerprints"](spark, "/root/testdata/sf0.001")),
     ))
 
+    # 8. relational surface: broadcast join chain + top-k
+    sections.append((
+        "shipping_priority (TPC-H Q3 shape)",
+        "MUST: BroadcastHashJoin chain (no SortMergeJoin at these dim "
+        "sizes), PushedFilters on all three parquet scans (date/date/"
+        "segment), global top-10 via TakeOrderedAndProject (no full "
+        "sort), money aggregated as per-row cents in int64.",
+        explain_str(QUERIES["shipping_priority"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = ["# PLANS — formatted physical plans for the load-bearing shapes",
            "", "Generated by `python scripts/explain_plans.py`.", ""]
     for title, props, plan in sections:
