@@ -20,6 +20,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# broadcast ceilings for the driver-side matrix kernels: beyond these,
+# fail LOUDLY with the scale-path alternative instead of OOMing the
+# driver at 100x (a few GB of doubles is where broadcast stops making
+# sense on any executor profile)
+MAX_BROADCAST_VECTORS = 200_000
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -209,6 +216,13 @@ def knn_join(
     qrows = queries.select(
         F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
     ).collect()
+    if len(qrows) > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"knn_join: {len(qrows)} query vectors exceeds the broadcast "
+            f"ceiling ({MAX_BROADCAST_VECTORS}); chunk the query set and "
+            "union the results, or block both sides with the LSH bucket "
+            "column"
+        )
     q_ids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -367,6 +381,13 @@ def cosine_neardup_pairs_exact(
     import pyspark.sql.types as T
 
     rows = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    if len(rows) > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"cosine_neardup_pairs_exact: {len(rows)} vectors exceeds the "
+            f"broadcast ceiling ({MAX_BROADCAST_VECTORS}); the exact all-"
+            "pairs kernel is the oracle anchor — at this scale use "
+            "cosine_neardup_pairs_lsh (bucket-blocked) instead"
+        )
     ids = np.array([r.id for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)

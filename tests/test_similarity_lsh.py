@@ -120,3 +120,16 @@ def test_knn_join_matches_per_query_brute(spark):
             for r in similarity.brute_topk(emb, qv, k=5, exclude_id=q).collect()
         ]
         assert [v for _, v in sorted(got[q])] == brute, q
+
+
+def test_broadcast_ceilings_fail_loudly(spark, monkeypatch):
+    """Past the broadcast ceiling the matrix kernels must raise with the
+    scale-path alternative named, never attempt the collect."""
+    import pytest as _pytest
+
+    emb = _emb(spark, SF001)
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_VECTORS", 10)
+    with _pytest.raises(ValueError, match="cosine_neardup_pairs_lsh"):
+        similarity.cosine_neardup_pairs_exact(emb, threshold_micro=900_000)
+    with _pytest.raises(ValueError, match="chunk the query set"):
+        similarity.knn_join(emb, emb, k=3)
