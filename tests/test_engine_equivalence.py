@@ -253,3 +253,35 @@ def test_tight_budget_spills_rounds(spark, tmp_path):
         for r in log.orderBy("round", F.desc("priority"), "seq").collect()
     ]
     assert engine_order == orc.order
+
+
+def test_all_round2_features_stacked(spark, tmp_path):
+    """Feature-interaction gate: GBK corpus + charset sniff + cuckoo
+    seen-filter + salted rank + shuffle-gated fetch join + robots parsed
+    from the corpus, all at once over a tight budget (20 rounds) — the
+    combination no single-feature test exercises."""
+    pages_path = str(tmp_path / "pages")
+    corpus.write_corpus(
+        spark, pages_path, n_hosts=10, n_filler=300, gbk=True, robots=True
+    )
+    tasks = rules.synthetic_tasks(max_depth=5, n_book_hosts=10, n_sun_hosts=5)
+    cfg = engine.CrawlConfig(
+        tasks=tasks, pages_path=pages_path, round_seconds=12.0,
+        salt_buckets=4, seen_filter="cuckoo", bloom_min_seen=1,
+        charset_sniff=True, robots_from_corpus=True, broadcast_max_rows=0,
+    )
+    cat = Catalog(str(tmp_path / "wh"))
+    state = engine.run_crawl(spark, cat, cfg)
+    assert state["finished"]
+
+    from crawler_spark.urlnorm import canon_py
+
+    pp = spark.read.parquet(pages_path).collect()
+    cd = {canon_py(r.url): bytes(r.html) for r in pp}
+    orc = oracle.crawl_oracle(
+        tasks, cd, round_seconds=12.0, min_body_bytes=cfg.min_body_bytes,
+        ban_marker=cfg.ban_marker, max_attempts=cfg.max_attempts,
+        charset_sniff=True, robots=corpus.robots_dict_for_hosts(10),
+    )
+    _assert_match(spark, cat, state, orc)
+    assert state["round"] >= 10  # the tight budget really spilled rounds
