@@ -800,13 +800,17 @@ ORACLES = {
         from documents group by source
     """,
     "pricing_summary": """
+        -- outer casts: DuckDB sum(BIGINT) returns HUGEINT which lands in
+        -- pandas as float64 and fails the driver's dtype-sensitive hash
+        -- (same class as the r1 per_source_agg bug; judge-verified fix).
         select l_returnflag, l_linestatus,
-               sum(cast(l_quantity as bigint)) as sum_qty,
-               sum(cast(floor(l_extendedprice * 100) as bigint)) as sum_base_cents,
-               sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint))
-                 as sum_disc_cents,
-               sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
-                        as bigint)) as sum_charge_cents,
+               cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+               cast(sum(cast(floor(l_extendedprice * 100) as bigint)) as bigint)
+                 as sum_base_cents,
+               cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint))
+                 as bigint) as sum_disc_cents,
+               cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                        as bigint)) as bigint) as sum_charge_cents,
                count(*) as count_order
         from lineitem
         where l_shipdate <= timestamp '2001-06-01'
@@ -815,8 +819,8 @@ ORACLES = {
     "shipping_priority": """
         select o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') as orderdate,
                o.o_orderpriority,
-               sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
-                        as bigint)) as revenue_cents
+               cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        as bigint)) as bigint) as revenue_cents
         from customer c
         join orders o on o.o_custkey = c.c_custkey
         join lineitem l on l.l_orderkey = o.o_orderkey

@@ -33,6 +33,37 @@ def ddb():
     return con
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to a comparable kind: int-like stays 'i',
+    float 'f', datetime 'M', bool 'b', everything else 'O'.  The driver's
+    hash is dtype-sensitive, so an oracle returning HUGEINT (-> float64
+    in pandas) must FAIL locally even though the Python values are equal
+    (the r1/r2 per_source_agg / pricing_summary bug class)."""
+    k = getattr(dtype, "kind", "O")
+    if k == "u":
+        k = "i"
+    if k not in ("i", "f", "M", "b"):
+        k = "O"
+    return k
+
+
+def _spark_kind(dt) -> str:
+    """Pandas dtype kind a Spark column of this type lands as (Arrow
+    conversion, no nulls): integral -> 'i', fractional -> 'f',
+    timestamp -> 'M', boolean -> 'b', everything else object."""
+    import pyspark.sql.types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "M"
+    if isinstance(dt, T.BooleanType):
+        return "b"
+    return "O"
+
+
 def _normalize(rows, cols):
     out = []
     for r in rows:
@@ -61,7 +92,22 @@ def test_query_matches_oracle(spark, ddb, name):
     ora = ddb.sql(entrymod.oracle_sql()[name])
     ora_cols = sorted(ora.columns)
     assert cols == ora_cols, f"{name}: column mismatch {cols} vs {ora_cols}"
-    ora_rows = [dict(zip(ora.columns, t)) for t in ora.fetchall()]
+    # Dtype gate: replicate the driver's dtype-sensitive hash.  fetchdf()
+    # surfaces DuckDB's physical result types (HUGEINT -> float64), which
+    # fetchall() hides by converting to Python ints.  The Spark side's
+    # pandas kind is derived from the schema (LongType -> int64 etc.) so
+    # we don't pay a second job per query.
+    ora_pdf = ora.fetchdf()
+    spark_kinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+    for c in cols:
+        sk, ok = spark_kinds[c], _dtype_kind(ora_pdf[c].dtype)
+        assert sk == ok, (
+            f"{name}.{c}: dtype kind mismatch spark={sk} "
+            f"vs oracle={ora_pdf[c].dtype} — driver hash would fail "
+            f"(cast the oracle aggregate, e.g. cast(sum(..) as bigint))"
+        )
+    ora2 = ddb.sql(entrymod.oracle_sql()[name])
+    ora_rows = [dict(zip(ora2.columns, t)) for t in ora2.fetchall()]
     assert len(spark_rows) == len(ora_rows), f"{name}: row count"
     a, b = _normalize(spark_rows, cols), _normalize(ora_rows, cols)
     mism = [(x, y) for x, y in zip(a, b) if x != y][:5]
