@@ -161,63 +161,182 @@ def _reload_col(tasks: dict[str, Task]) -> F.Column:
 
 
 class CuckooSeen:
-    """Long-lived incremental seen pre-filter (seen_filter='cuckoo').
+    """Long-lived incremental seen pre-filter (seen_filter='cuckoo'),
+    sharded by ``pmod(url_hash, n_shards)``.
 
     Mirrors the reference's mark-before-fetch / un-mark-on-failure
     protocol (crawler.go:92,180-185): every *scheduled* key is inserted
-    at schedule time; failed non-reload keys are deleted after the round.
-    Deletion only ever removes keys previously inserted — the condition
-    under which cuckoo deletes are safe.  Exactness never depends on the
-    filter (the exact anti-join confirms every 'maybe'); an insert
-    overflow triggers a doubled rebuild from the seen table so the filter
-    can't silently develop false negatives.
+    after the round, failed non-reload keys are deleted — so filter
+    membership after each round equals ``SELECT DISTINCT url_hash FROM
+    seen`` exactly, which is also what rebuilds and the resume load read.
 
-    Driver-side by design at this scale: the filter is a few bytes per
-    key over *scheduled* rows (budget-bounded per round).  At 10^10 URLs
-    production shards this by Iceberg host-bucket exactly like the bloom
-    (seen.py module notes), one filter shard per bucket.
+    Maintenance is DISTRIBUTED: the round's (key, op) delta is grouped
+    by shard and each shard's filter is updated partition-locally
+    (applyInPandas, mirroring the bloom build at seen.build_bloom); the
+    driver only ever collects the ``n_shards`` fixed-size shard tables,
+    never key lists.  At 10^10 URLs the shard key becomes the Iceberg
+    host-bucket and each executor loads only its buckets' shards — the
+    update job shape here is already that shape.
+
+    Inserts are deduplicated against the filter first: a cuckoo filter
+    holds at most 8 copies of one fingerprint (2 buckets x 4 slots), so
+    re-inserting a reload-task URL every round would overflow after ~9
+    rounds and an unconditional rebuild could then never converge.  A
+    shard that still overflows is rebuilt at doubled capacity from the
+    seen table (distinct keys), with a bounded doubling that fails
+    loudly rather than looping forever.
+
+    Exactness never depends on the filter for false *positives* (the
+    exact anti-join confirms every 'maybe').  Skipping the insert of a
+    key whose fingerprint is already resident can — after a later delete
+    of the colliding key — yield a false negative costing one redundant
+    re-fetch; with 16-bit fingerprints this needs a same-bucket
+    fingerprint collision (~2^-16 per pair per bucket) and is the
+    standard deletable-cuckoo trade.
     """
 
-    def __init__(self, capacity: int = 1 << 16):
+    _RESULT_SCHEMA = "shard int, n_buckets long, tbl binary, ok boolean"
+    MAX_REBUILD_DOUBLINGS = 40
+
+    def __init__(self, capacity: int = 1 << 16, n_shards: int = 8):
         from .seen import Cuckoo
 
-        self.filter = Cuckoo.sized(max(capacity, 1024))
-        self.inserted = 0
+        self.S = n_shards
+        per_shard = max(capacity // n_shards, 1024)
+        self.shards = [Cuckoo.sized(per_shard) for _ in range(n_shards)]
 
-    def add_keys(self, keys, cat, spark, rebuild_from: str | None = "seen") -> None:
-        """``rebuild_from`` names the table holding every previously
-        relevant key (the engine calls this after the round's seen
-        commit, so 'seen' + ``keys`` is the complete membership);
-        rebuild_from=None is only sound when ``keys`` alone is the full
-        set (the resume-time initial load)."""
+    # ---- probe (runs inside split_by_filter's broadcast pandas UDF)
+    def contains_many(self, keys):
+        import numpy as np
+
+        ks = np.asarray(keys, dtype=np.int64)
+        out = np.zeros(len(ks), dtype=bool)
+        sh = np.mod(ks, np.int64(self.S))  # == F.pmod for a positive divisor
+        for s, filt in enumerate(self.shards):
+            m = sh == s
+            if m.any():
+                out[m] = filt.contains_many(ks[m])
+        return out
+
+    # ---- maintenance
+    def apply_round(self, spark, cat, add_df: DataFrame, del_df: DataFrame,
+                    seen_table: str = "seen") -> None:
+        """One distributed job: adds (scheduled keys) and deletes (failed
+        non-reload keys) partitioned by shard, filters updated
+        executor-side, fixed-size shard tables collected back."""
+        import numpy as np
+
         from .seen import Cuckoo
 
-        ok = self.filter.add_many(keys)
-        self.inserted += len(keys)
-        if ok == len(keys):
-            return
-        # Overflow: rebuild at doubling capacity until EVERY insert
-        # lands.  A cuckoo false negative (unlike a bloom one) would skip
-        # the exact anti-join and re-crawl a seen URL, so partial inserts
-        # are never acceptable.
-        redo: list[int] = []
-        if rebuild_from and cat.exists(rebuild_from):
-            redo = [
-                r.url_hash
-                for r in cat.read(spark, rebuild_from).select("url_hash").collect()
-            ]
-        cap = max(self.inserted * 2, 1024)
-        while True:
-            self.filter = Cuckoo.sized(cap)
-            if (
-                self.filter.add_many(redo) == len(redo)
-                and self.filter.add_many(keys) == len(keys)
-            ):
-                return
-            cap *= 2
+        ops = (
+            add_df.select("url_hash").withColumn("op", F.lit(1))
+            .unionByName(del_df.select("url_hash").withColumn("op", F.lit(-1)))
+        )
+        payload = {s: (c.n, c.table.tobytes()) for s, c in enumerate(self.shards)}
+        bc = spark.sparkContext.broadcast(payload)
 
-    def delete_keys(self, keys) -> None:
-        self.filter.delete_many(keys)
+        def upd(pdf):
+            import numpy as np
+            import pandas as pd
+
+            from crawler_spark.seen import Cuckoo
+
+            s = int(pdf["shard"].iloc[0])
+            n, raw = bc.value[s]
+            filt = Cuckoo.wrap(
+                np.frombuffer(raw, dtype=np.uint16).reshape(n, 4).copy()
+            )
+            adds = np.unique(pdf.loc[pdf["op"] == 1, "url_hash"].to_numpy(np.int64))
+            dels = np.unique(pdf.loc[pdf["op"] == -1, "url_hash"].to_numpy(np.int64))
+            if len(adds):
+                adds = adds[~filt.contains_many(adds)]
+            ok = filt.add_many(adds) == len(adds)
+            if ok and len(dels):
+                # overflow shards skip deletes: they are rebuilt from the
+                # seen table, which never contains the failed keys
+                filt.delete_many(dels)
+            return pd.DataFrame(
+                {"shard": [s], "n_buckets": [filt.n],
+                 "tbl": [filt.table.tobytes()], "ok": [ok]}
+            )
+
+        rows = (
+            ops.withColumn("shard", F.pmod(F.col("url_hash"), F.lit(self.S)).cast("int"))
+            .groupBy("shard")
+            .applyInPandas(upd, self._RESULT_SCHEMA)
+            .collect()
+        )
+        bc.destroy()
+        overflowed = []
+        for r in rows:
+            if r.ok:
+                self.shards[r.shard] = Cuckoo.wrap(
+                    np.frombuffer(r.tbl, dtype=np.uint16)
+                    .reshape(r.n_buckets, 4).copy()
+                )
+            else:
+                overflowed.append(r.shard)
+        if overflowed:
+            self.rebuild_shards(spark, cat, overflowed, seen_table)
+
+    def rebuild_shards(self, spark, cat, shard_ids: list[int],
+                       seen_table: str = "seen") -> None:
+        """Rebuild the named shards at >=2x capacity from the seen
+        table's distinct keys, distributed (one applyInPandas group per
+        shard); bounded doubling, loud failure."""
+        import numpy as np
+
+        from .seen import Cuckoo
+
+        caps = {s: max(self.shards[s].n * 4 * 2, 2048) for s in shard_ids}
+        max_doublings = self.MAX_REBUILD_DOUBLINGS
+        bc = spark.sparkContext.broadcast(caps)
+
+        def build(pdf):
+            import numpy as np
+            import pandas as pd
+
+            from crawler_spark.seen import Cuckoo
+
+            s = int(pdf["shard"].iloc[0])
+            keys = np.unique(pdf["url_hash"].to_numpy(np.int64))
+            cap = bc.value[s]
+            for _ in range(max_doublings):
+                filt = Cuckoo.sized(cap)
+                if filt.add_many(keys) == len(keys):
+                    return pd.DataFrame(
+                        {"shard": [s], "n_buckets": [filt.n],
+                         "tbl": [filt.table.tobytes()], "ok": [True]}
+                    )
+                cap *= 2
+            raise RuntimeError(
+                f"cuckoo shard {s} rebuild failed to place {len(keys)} keys "
+                f"even at capacity {cap} — filter state is corrupt"
+            )
+
+        seen_keys = (
+            cat.read_or_empty(spark, seen_table, SEEN_SCHEMA)
+            .select("url_hash").distinct()
+            .withColumn("shard", F.pmod(F.col("url_hash"), F.lit(self.S)).cast("int"))
+            .where(F.col("shard").isin([int(s) for s in shard_ids]))
+        )
+        rows = seen_keys.groupBy("shard").applyInPandas(
+            build, self._RESULT_SCHEMA
+        ).collect()
+        bc.destroy()
+        rebuilt = set()
+        for r in rows:
+            self.shards[r.shard] = Cuckoo.wrap(
+                np.frombuffer(r.tbl, dtype=np.uint16).reshape(r.n_buckets, 4).copy()
+            )
+            rebuilt.add(r.shard)
+        for s in set(shard_ids) - rebuilt:  # shard empty in seen: fresh filter
+            self.shards[s] = Cuckoo.sized(caps[s])
+
+    def load_from_seen(self, spark, cat, seen_table: str = "seen") -> None:
+        """Resume-time initial load: build every shard from the seen
+        table, distributed — no driver-side key collect."""
+        self.rebuild_shards(spark, cat, list(range(self.S)), seen_table)
 
 
 def bootstrap(spark: SparkSession, cat: Catalog, cfg: CrawlConfig) -> dict:
@@ -272,10 +391,11 @@ def run_round(
         rel_rows = cand.where(_reload_col(cfg.tasks))
         cand = cand.where(~_reload_col(cfg.tasks))
     _t = time.time()
+    round_bcs: list = []  # probe broadcasts, destroyed after the round's actions
     cand = dedup_candidates(
         cand, seen_df, state["seen_count"], use_bloom=cfg.filter_kind() == "bloom",
         fpp=cfg.bloom_fpp, min_seen=cfg.bloom_min_seen,
-        cuckoo=cuckoo.filter if cuckoo is not None else None,
+        cuckoo=cuckoo, bc_sink=round_bcs,
     )
     bloom_wall = time.time() - _t  # eager: the bloom build collects here
     # in-round duplicate URLs: keep the schedulable-first copy, drop the
@@ -449,18 +569,19 @@ def run_round(
     n_pending = rows["frontier_pending"]
 
     # ---- incremental cuckoo maintenance (seen_filter='cuckoo'):
-    # insert at schedule time, delete failed non-reload keys — the
+    # insert scheduled keys, delete failed non-reload keys — the
     # reference's StoreVisited / SetFailure protocol (crawler.go:92,
-    # 180-185) on the long-lived filter.  Collect is budget-bounded
-    # (scheduled rows only); production shards by host-bucket.
+    # 180-185) on the long-lived sharded filter.  Distributed: keys are
+    # grouped by shard and applied executor-side; the driver collects
+    # only the fixed-size shard tables, never key lists.
     if cuckoo is not None:
-        sched_keys = [r.url_hash for r in scheduled.select("url_hash").collect()]
-        cuckoo.add_keys(sched_keys, cat, spark)
         fail_nonrel = failed if not any_reload else failed.where(
             ~_reload_col(cfg.tasks)
         )
-        cuckoo.delete_keys(
-            [r.url_hash for r in fail_nonrel.select("url_hash").collect()]
+        cuckoo.apply_round(
+            spark, cat,
+            scheduled.select("url_hash"),
+            fail_nonrel.select("url_hash"),
         )
 
     wall = time.time() - t0
@@ -488,6 +609,8 @@ def run_round(
 
     for df in (cand, scheduled, parsed, new_rows):
         df.unpersist()
+    for bc in round_bcs:
+        bc.destroy()
 
     new_state = {
         "round": round_no,
@@ -522,10 +645,7 @@ def run_crawl(
     if cfg.filter_kind() == "cuckoo":
         cuckoo = CuckooSeen(capacity=max(state["seen_count"] * 2, 1 << 14))
         if state["seen_count"] and cat.exists("seen"):
-            cuckoo.add_keys(
-                [r.url_hash for r in cat.read(spark, "seen").select("url_hash").collect()],
-                cat, spark, rebuild_from=None,
-            )
+            cuckoo.load_from_seen(spark, cat)
     pages_prepared = prepare_pages(spark.read.parquet(cfg.pages_path))
     robots_df: DataFrame | None = None
     if cfg.robots_path:

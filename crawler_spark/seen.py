@@ -99,13 +99,19 @@ def build_bloom(df: DataFrame, key_col: str, n_items: int, fpp: float = 0.01) ->
 
 
 def split_by_bloom(
-    candidates: DataFrame, bloom: Bloom, key_col: str = "url_hash"
+    candidates: DataFrame, bloom: Bloom, key_col: str = "url_hash",
+    bc_sink: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (definitely_new, maybe_seen).  Probe is an Arrow-batched pandas
     UDF over the broadcast bitmap; exactness restored downstream by the
-    anti-join on maybe_seen only."""
+    anti-join on maybe_seen only.  ``bc_sink``: the broadcast handle is
+    appended so the caller can destroy it once the round's actions are
+    done — without it a 64-round crawl accrues one bitmap broadcast per
+    round on driver and executors."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast((bloom.m_bits, bloom.k, bloom.bits))
+    if bc_sink is not None:
+        bc_sink.append(bc)
 
     @F.pandas_udf("boolean")
     def might_contain(keys: pd.Series) -> pd.Series:
@@ -127,7 +133,8 @@ def dedup_candidates(
     use_bloom: bool = True,
     fpp: float = 0.01,
     min_seen: int = 1024,
-    cuckoo: "Cuckoo | None" = None,
+    cuckoo=None,
+    bc_sink: list | None = None,
 ) -> DataFrame:
     """Exact F4 semantics: candidates minus seen (left anti on url_hash),
     with an approximate pre-filter fast path once the seen set outgrows
@@ -136,14 +143,20 @@ def dedup_candidates(
     bloom, or — when ``cuckoo`` is passed — the engine's long-lived
     incremental cuckoo filter (supports deletion on un-visit, the
     reference's crawler.go:180-185 semantics).  Either way false
-    positives only cost an exact-join probe, never a dropped URL."""
+    positives only cost an exact-join probe, never a dropped URL.
+
+    ``cuckoo``: any object exposing a vectorized
+    ``contains_many(np.int64[:]) -> bool[:]`` (a raw :class:`Cuckoo` or
+    the engine's sharded ``CuckooSeen``).  ``bc_sink`` collects the
+    round's broadcast handles for end-of-round destruction."""
     if seen_count == 0:
         return candidates
     if cuckoo is not None and seen_count >= min_seen:
-        fresh, maybe = split_by_filter(candidates, cuckoo.contains_many)
+        fresh, maybe = split_by_filter(candidates, cuckoo.contains_many,
+                                       bc_sink=bc_sink)
     elif use_bloom and seen_count >= min_seen:
         bloom = build_bloom(seen_df, "url_hash", n_items=seen_count, fpp=fpp)
-        fresh, maybe = split_by_bloom(candidates, bloom)
+        fresh, maybe = split_by_bloom(candidates, bloom, bc_sink=bc_sink)
     else:
         return candidates.join(
             seen_df.select("url_hash"), on="url_hash", how="left_anti"
@@ -153,15 +166,18 @@ def dedup_candidates(
 
 
 def split_by_filter(
-    candidates: DataFrame, approx_contains, key_col: str = "url_hash"
+    candidates: DataFrame, approx_contains, key_col: str = "url_hash",
+    bc_sink: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Generic (definitely_new, maybe_seen) split for any vectorized
     approximate-membership probe ``approx_contains(np.int64[:]) -> bool[:]``
     (bloom or cuckoo).  Probe runs as an Arrow-batched pandas UDF over
     broadcast filter state; exactness restored downstream by the
-    anti-join on maybe_seen only."""
+    anti-join on maybe_seen only.  ``bc_sink``: see split_by_bloom."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(approx_contains)
+    if bc_sink is not None:
+        bc_sink.append(bc)
 
     @F.pandas_udf("boolean")
     def might_contain(keys: pd.Series) -> pd.Series:
@@ -191,6 +207,17 @@ class Cuckoo:
     @staticmethod
     def sized(n_items: int) -> "Cuckoo":
         return Cuckoo(max(16, int(n_items / 4 / 0.84) + 1))
+
+    @staticmethod
+    def wrap(table: np.ndarray) -> "Cuckoo":
+        """Adopt an existing (n, 4) uint16 table without reallocating —
+        the deserialization path for shard tables shipped back from
+        executors (engine.CuckooSeen)."""
+        c = object.__new__(Cuckoo)
+        c.n = table.shape[0]
+        c.table = table
+        c._rng_state = 0x2545F4914F6CDD1D
+        return c
 
     def _fp(self, key: int) -> int:
         fp = (key ^ (key >> 17)) & 0xFFFF

@@ -103,29 +103,84 @@ def test_dedup_candidates_cuckoo_exact(spark):
     assert keys == list(range(1, 100, 2))
 
 
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+
+
+def _empty_keys(spark):
+    return spark.createDataFrame([], "url_hash long")
+
+
 def test_cuckooseen_overflow_rebuild_keeps_all_keys(spark, tmp_path):
-    """Deliberately undersized CuckooSeen: after overflow the rebuild
-    must retain EVERY inserted key (a cuckoo false negative would skip
-    the exact anti-join and re-crawl a seen URL)."""
+    """Deliberately undersized CuckooSeen: after shard overflow the
+    distributed rebuild must retain EVERY inserted key (a cuckoo false
+    negative would skip the exact anti-join and re-crawl a seen URL)."""
     import numpy as np
 
     from crawler_spark.catalog import Catalog
     from crawler_spark.engine import CuckooSeen
 
     cat = Catalog(str(tmp_path / "wh"))
-    cs = CuckooSeen(capacity=16)  # floor-clamped to 1024 slots
+    # 2 shards x ~2048 slots; 5000 keys must overflow and trigger rebuild
+    cs = CuckooSeen(capacity=16, n_shards=2)
     rng = np.random.default_rng(7)
     keys = rng.integers(-(1 << 62), 1 << 62, size=5000, dtype=np.int64).tolist()
-    for i in range(0, len(keys), 500):
-        batch = keys[i : i + 500]
-        # engine contract: by maintenance time, every previously
-        # scheduled key is in the seen table the rebuild reads
-        if i:
-            cat.write_counted(
-                spark.createDataFrame([(k,) for k in keys[i - 500 : i]],
-                                      "url_hash long"),
-                "seen",
-            )
-        cs.add_keys(batch, cat, spark, rebuild_from="seen")
-    got = cs.filter.contains_many(np.array(keys, dtype=np.int64))
+    for i in range(0, len(keys), 1000):
+        batch = keys[i : i + 1000]
+        # engine contract: the seen delta is committed BEFORE maintenance,
+        # so the rebuild's seen read already includes this batch
+        cat.write_counted(_keys_df(spark, batch), "seen")
+        cs.apply_round(spark, cat, _keys_df(spark, batch), _empty_keys(spark))
+    got = cs.contains_many(np.array(keys, dtype=np.int64))
     assert got.all(), f"{(~got).sum()} keys lost after overflow rebuild"
+
+
+def test_cuckooseen_reload_reinsert_terminates(spark, tmp_path):
+    """ADVICE r2 (high): a reload-task URL is re-scheduled every round, so
+    the same key hits the filter >8 times — more copies than a cuckoo
+    filter can hold of one fingerprint.  Inserts must dedupe against the
+    filter (and rebuilds against the distinct seen set) or maintenance
+    loops forever.  12 rounds of the same 200 keys must terminate with no
+    capacity growth."""
+    import numpy as np
+
+    from crawler_spark.catalog import Catalog
+    from crawler_spark.engine import CuckooSeen
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cs = CuckooSeen(capacity=1 << 12, n_shards=2)
+    keys = list(range(-100, 100))
+    cat.write_counted(_keys_df(spark, keys), "seen")
+    size_before = sum(c.n for c in cs.shards)
+    for _ in range(12):
+        # reference reload semantics: seen gets one row per round too
+        cat.write_counted(_keys_df(spark, keys), "seen")
+        cs.apply_round(spark, cat, _keys_df(spark, keys), _empty_keys(spark))
+    assert cs.contains_many(np.array(keys, dtype=np.int64)).all()
+    assert sum(c.n for c in cs.shards) == size_before, "capacity blew up"
+
+
+def test_cuckooseen_delete_and_resume_load(spark, tmp_path):
+    """Delete-on-failure removes keys; load_from_seen rebuilds every
+    shard from the seen table without any driver-side key collect."""
+    import numpy as np
+
+    from crawler_spark.catalog import Catalog
+    from crawler_spark.engine import CuckooSeen
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cs = CuckooSeen(capacity=1 << 12, n_shards=4)
+    ok_keys = list(range(0, 400, 2))
+    fail_keys = list(range(1, 400, 2))
+    cat.write_counted(_keys_df(spark, ok_keys), "seen")  # failures never land in seen
+    cs.apply_round(
+        spark, cat, _keys_df(spark, ok_keys + fail_keys), _keys_df(spark, fail_keys)
+    )
+    assert cs.contains_many(np.array(ok_keys, dtype=np.int64)).all()
+    # deleted keys are gone (up to fp-collision false positives: none here)
+    frac_present = cs.contains_many(np.array(fail_keys, dtype=np.int64)).mean()
+    assert frac_present < 0.05, frac_present
+
+    fresh = CuckooSeen(capacity=1 << 12, n_shards=4)
+    fresh.load_from_seen(spark, cat)
+    assert fresh.contains_many(np.array(ok_keys, dtype=np.int64)).all()
