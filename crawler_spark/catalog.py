@@ -18,13 +18,15 @@ Semantics:
 
 - ``append``     adds a snapshot; live data = all live snapshots
 - ``overwrite``  adds a snapshot that resets the live set to just itself
+- ``buckets``    partial overwrite: the snapshot carries data partitioned
+                 by ``_bucket=<k>`` and replaces ONLY the listed buckets;
+                 unlisted buckets keep their previous snapshot's data.
+                 This is the shim's stand-in for Iceberg's
+                 dynamic-partition-overwrite / MERGE on a
+                 ``bucket(url_hash)``-partitioned table: a round that
+                 touches k buckets rewrites O(k) files, not the table.
 - ``read(snapshot_id=k)`` time-travel: live set as of commit k
 - commits are atomic via write-temp + ``os.replace`` of the manifest
-
-At 10^10-URL scale the frontier table would be Iceberg-partitioned by
-``bucket(host)`` with metadata-level pruning on (round, status); the shim
-keeps whole-table snapshots, which is fine at test scale and keeps the
-engine code identical.
 """
 
 from __future__ import annotations
@@ -109,6 +111,49 @@ class Catalog:
         self._commit(table, manifest)
         return snap_id, rows
 
+    def commit_buckets(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str,
+        n_buckets: int,
+        buckets: list[int] | None = None,
+    ) -> tuple[int, int]:
+        """Partial-overwrite commit on a ``pmod(bucket_col, n_buckets)``
+        bucketed table; returns (snapshot_id, rows_written).
+
+        ``buckets=None`` resets the whole table (bootstrap); otherwise
+        only the listed buckets are replaced by ``df``'s rows (``df``
+        must already be restricted to those buckets) and every other
+        bucket keeps its previous contents.  A listed bucket with zero
+        rows in ``df`` becomes empty — the manifest records coverage
+        explicitly, not from the directories written.
+
+        Iceberg equivalent: ``INSERT OVERWRITE`` with
+        dynamic-partition-overwrite on a bucket-partitioned table (or
+        copy-on-write MERGE); the manifest here plays the role of the
+        per-partition file list in Iceberg's snapshot metadata.
+        """
+        from pyspark.sql import functions as F
+
+        manifest = self._load_manifest(table)
+        snap_id = (manifest[-1]["id"] + 1) if manifest else 1
+        rel = f"snap-{snap_id:06d}"
+        out_dir = os.path.join(self._table_dir(table), rel)
+        dfw = df.withColumn(
+            "_bucket", F.pmod(F.col(bucket_col), F.lit(n_buckets)).cast("int")
+        )
+        dfw.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+        rows = self._dir_rows(out_dir)
+        reset = buckets is None
+        cover = list(range(n_buckets)) if reset else sorted(int(b) for b in buckets)
+        manifest.append(
+            {"id": snap_id, "mode": "buckets", "dir": rel, "rows": rows,
+             "buckets": cover, "reset": reset, "n_buckets": n_buckets}
+        )
+        self._commit(table, manifest)
+        return snap_id, rows
+
     def write_rows(self, rows: list[tuple], schema, table: str,
                    mode: str = "append") -> int:
         """Commit a small driver-side row list (metrics, lineage) as a
@@ -142,9 +187,10 @@ class Catalog:
         import pyarrow.parquet as pq
 
         total = 0
-        for name in os.listdir(out_dir):
-            if name.endswith(".parquet"):
-                total += pq.read_metadata(os.path.join(out_dir, name)).num_rows
+        for root, _dirs, files in os.walk(out_dir):
+            for name in files:
+                if name.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, name)).num_rows
         return total
 
     def _live_dirs(self, table: str, snapshot_id: int | None = None) -> list[str]:
@@ -152,10 +198,24 @@ class Catalog:
         if snapshot_id is not None:
             manifest = [m for m in manifest if m["id"] <= snapshot_id]
         live: list[str] = []
+        bucket_live: dict[int, str] = {}
         for m in manifest:
-            if m["mode"] == "overwrite":
-                live = []
-            live.append(os.path.join(self._table_dir(table), m["dir"]))
+            mode = m["mode"]
+            if mode == "overwrite":
+                live, bucket_live = [], {}
+            if mode == "buckets":
+                if m.get("reset"):
+                    live, bucket_live = [], {}
+                snap_dir = os.path.join(self._table_dir(table), m["dir"])
+                for b in m["buckets"]:
+                    bucket_live[b] = snap_dir
+            else:
+                live.append(os.path.join(self._table_dir(table), m["dir"]))
+        for b, snap_dir in sorted(bucket_live.items()):
+            # partitionBy writes no dir for an empty bucket: bucket is empty
+            sub = os.path.join(snap_dir, f"_bucket={b}")
+            if os.path.isdir(sub):
+                live.append(sub)
         return live
 
     def read(

@@ -29,8 +29,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # html5 meta prescan shapes: <meta charset="gbk"> and
-# <meta http-equiv="Content-Type" content="text/html; charset=gbk">
-_META_RE = re.compile(rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
+# <meta http-equiv="Content-Type" content="text/html; charset=gbk">.
+# Anchored to a <meta ...> tag context: a bare 'charset=' anywhere in the
+# first 1 KiB (a URL query string, visible text) must NOT trigger a
+# transcode (ADVICE r2) — html5's prescan only honors meta attributes.
+_META_RE = re.compile(
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I
+)
 
 SNIFF_BYTES = 1024  # reference Peek(1024), collect.go:94
 

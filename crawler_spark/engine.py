@@ -13,8 +13,10 @@ Spark translation per round (all declarative, Catalyst-optimized):
     anti-join; ban/short routed per reference semantics; per-(task,rule)
     SQL parse kernels -> items to results, links to frontier children;
     retries re-queued once (crawler.go:179-194); contiguous seq ids
-    assigned to the discovery delta; frontier_pending overwritten; state
-    checkpointed last (atomic) so any round is resumable.
+    assigned to the discovery delta; only the DIRTY frontier buckets
+    (pmod(url_hash, B)) rewritten — Iceberg dynamic-partition-overwrite
+    shape, O(touched buckets) I/O per round instead of a full-table
+    write; state checkpointed last (atomic) so any round is resumable.
 
 Seen-set timing: the reference marks visited *before* fetch and un-marks
 on failure (crawler.go:92,180-185).  With synchronous rounds, marking
@@ -95,6 +97,13 @@ class CrawlConfig:
     # big budgets) fall back to a shuffle join and let AQE/statistics
     # pick the strategy — never force-broadcast an unbounded build side
     broadcast_max_rows: int = 4_000_000
+    # frontier_pending is stored bucketed by pmod(url_hash, B); each
+    # round rewrites only the buckets that gained or lost rows (Iceberg
+    # dynamic-partition-overwrite shape) instead of the whole table —
+    # at a 10^9-row pending set with small round budgets a full rewrite
+    # per round is the dominant cost.  Production sizing: enough buckets
+    # that one bucket ~ one write task's worth of rows (e.g. 4096).
+    frontier_buckets: int = 16
     max_rounds: int = 64
     collect_metrics: bool = True
 
@@ -341,7 +350,9 @@ class CuckooSeen:
 
 def bootstrap(spark: SparkSession, cat: Catalog, cfg: CrawlConfig) -> dict:
     seeds = seed_frontier(spark, cfg.tasks)
-    snap, n = cat.write_counted(seeds, "frontier_pending", mode="overwrite")
+    snap, n = cat.commit_buckets(
+        seeds, "frontier_pending", "url_hash", cfg.frontier_buckets
+    )
     state = {
         "round": 0,
         "max_seq": n - 1,
@@ -564,9 +575,31 @@ def run_round(
     new_rows = new_rows.select(*FRONTIER_COLS).persist()
     seq_wall = time.time() - _t  # eager: offsets collect runs the pipeline
 
-    next_pending = deferred.unionByName(new_rows)
-    commit(next_pending, "frontier_pending", mode="overwrite")
-    n_pending = rows["frontier_pending"]
+    # ---- frontier delta-commit: rewrite ONLY dirty buckets.  A bucket
+    # is dirty iff it lost rows (something scheduled from it) or gained
+    # rows (children/retries landed in it); its new contents are the
+    # deferred + new rows of that bucket.  Clean buckets are untouched on
+    # disk — they may retain rows that this round's deterministic filters
+    # dropped (depth-exceeded, now-seen, in-round dup copies, robots):
+    # every one of those is re-dropped identically next round, so the
+    # *live* frontier (what can ever be scheduled) is exactly deferred ∪
+    # new, the same set the old full overwrite wrote.  Liveness counters
+    # therefore come from deferred/new, never from table row counts.
+    B = cfg.frontier_buckets
+    _bcol = F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
+    _t = time.time()
+    dirty = sorted(
+        {r.b for r in scheduled.select(_bcol.alias("b")).distinct().collect()}
+        | {r.b for r in new_rows.select(_bcol.alias("b")).distinct().collect()}
+    )
+    n_deferred = deferred.count()  # over the cached cand, no table scan
+    if dirty:
+        delta = deferred.unionByName(new_rows).where(_bcol.isin(dirty))
+        snaps["frontier_pending"], rows["frontier_pending"] = cat.commit_buckets(
+            delta, "frontier_pending", "url_hash", B, buckets=dirty
+        )
+    stage_wall["frontier_pending"] = time.time() - _t
+    n_pending = n_deferred + n_new
 
     # ---- incremental cuckoo maintenance (seen_filter='cuckoo'):
     # insert scheduled keys, delete failed non-reload keys — the
@@ -675,12 +708,18 @@ def results_wide(results: DataFrame, task: Task) -> DataFrame:
     map keys surface as '' (ExtraString contract).  A downstream SQL
     consumer of e.g. ``douban_book_list`` reads named columns, no
     element_at gymnastics."""
-    rule_fields: list[str] = []
+    # per-name dedup via dict insertion order: a duplicate name within one
+    # rule's fields, or a tmp_field colliding with a later rule's field,
+    # must yield ONE output column (ADVICE r2 — the old list comprehension
+    # checked membership against a stale snapshot)
+    _names: dict[str, None] = {}
     for rule in task.rules.values():
         if isinstance(rule, FieldsRule):
             if rule.tmp_field is not None:
-                rule_fields.append(rule.tmp_field[0])
-            rule_fields += [f.name for f in rule.fields if f.name not in rule_fields]
+                _names.setdefault(rule.tmp_field[0])
+            for f in rule.fields:
+                _names.setdefault(f.name)
+    rule_fields = list(_names)
     return results.where(F.col("task") == task.name).select(
         *[
             F.coalesce(F.element_at(F.col("data"), f), F.lit("")).alias(f)

@@ -327,10 +327,21 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_winnow(spark, sf_dir):
-    """Winnowing counts, pure DataFrame ops (md5-slice hashes so the
-    DuckDB window-function oracle reproduces every pick; the rolling-hash
-    pandas kernel textops.winnow_fingerprints stays as the prod twin)."""
+    """Winnowing counts, ORACLE TWIN: pure DataFrame ops with md5-slice
+    hashes so the DuckDB window-function oracle reproduces every pick.
+    Row-per-character explode — NOT the production path (that is
+    q_winnow_prod / textops.winnow_counts, the linear Arrow kernel)."""
     return textops.winnow_counts_sql(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_winnow_prod(spark, sf_dir):
+    """Winnowing counts, PRODUCTION default: linear rolling-hash Arrow
+    kernel, O(doc length) with no row amplification (textops.
+    winnow_counts).  The rolling hash is not reproducible in DuckDB SQL,
+    so this row carries no oracle (driver records the weaker rows-only
+    check); pick-count equality with the pure-Python reference kernel is
+    asserted in tests/test_winnow.py instead."""
+    return textops.winnow_counts(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
 # ------------------------------------------------------------ multimodal
@@ -548,6 +559,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "winnow_fingerprints": q_winnow,
+    "winnow_counts_prod": q_winnow_prod,
     "ann_brute_topk": q_ann_brute_topk,
     "knn_join": q_knn_join,
     "ann_lsh_topk": q_ann_lsh_topk,

@@ -52,7 +52,12 @@ _shingle_slot: dict = {}
 def _cached_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     sh = shingles(df, id_col, text_col, n)
     try:
-        key = sh._jdf.queryExecution().analyzed().canonicalized().semanticHash()
+        canon = sh._jdf.queryExecution().analyzed().canonicalized()
+        # full canonical plan string, not just the 32-bit semanticHash: a
+        # hash collision would silently return a different DataFrame; and
+        # the owning session identity, so a cached DataFrame bound to a
+        # stopped/restarted SparkSession is never reused (ADVICE r2)
+        key = (id(sh.sparkSession), canon.semanticHash(), canon.toString())
     except Exception:  # non-classic backends: fall back to no sharing
         key = object()
     if _shingle_slot.get("key") == key:

@@ -299,24 +299,99 @@ def winnow_fingerprints_py(
     return picks
 
 
-def winnow_counts_sql(
+def _winnow_count_vec(s: str, k: int, w: int) -> int:
+    """Vectorized winnowing pick count — one numpy pass per document,
+    ``== len(winnow_fingerprints_py(s, k, w, 'rolling'))`` (asserted in
+    tests).  Direct polynomial k-gram hashes via a sliding-window dot
+    product (no per-character Python), leftmost-argmin per window,
+    consecutive-pick dedup as one vector compare."""
+    import numpy as np
+
+    s = s.lower()
+    n = len(s)
+    if n < k:
+        return 0
+    B, M = 131, (1 << 61) - 1
+    pows = [pow(B, k - 1 - j, M) for j in range(k)]
+    # int64-overflow gate: sum of k terms (coeff * max code point) must
+    # fit; true for the default k=5 (131^4 * 0x10FFFF * 5 ~ 2^60.7)
+    if max(pows) * 0x110000 * k >= (1 << 63):
+        return len(winnow_fingerprints_py(s, k, w))
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    h = (win * np.array(pows, dtype=np.int64)).sum(axis=1) % M
+    L = len(h)
+    if L <= w:
+        return 1
+    wv = np.lib.stride_tricks.sliding_window_view(h, w)
+    j = np.arange(L - w + 1) + wv.argmin(axis=1)  # argmin ties -> leftmost
+    return int(1 + (j[1:] != j[:-1]).sum())
+
+
+def winnow_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 5, w: int = 4,
 ) -> DataFrame:
-    """Winnowing fingerprint COUNTS as pure DataFrame ops (no Python in
-    the hot path): explode k-gram positions -> md5-slice hash (32-bit,
-    DuckDB-reproducible) -> struct-min over a w-row window (leftmost
+    """PRODUCTION winnowing count path (the default): Arrow-batched
+    linear kernel, O(doc length) work per document with no row
+    amplification.  The SQL contract twin (winnow_counts_sql) explodes
+    one row per character position and pays an md5 per k-gram — ~100x
+    the bytes moved on a 100 TB corpus — and survives only because it is
+    bit-reproducible in DuckDB for the oracle gate.  Counts here use the
+    rolling polynomial hash, so pick *positions* (and hence counts)
+    legitimately differ from the md5 twin's; both obey the winnowing
+    density bound.
+
+    Returns (id_col, n_fp); n_fp = 0 for texts shorter than k."""
+    import pyspark.sql.types as T
+
+    id_field = df.schema[id_col]
+    schema = T.StructType([id_field, T.StructField("n_fp", T.LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_fp": [
+                        _winnow_count_vec(t or "", k, w) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def winnow_counts_sql(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, w: int = 4, hash_kind: str = "md5",
+) -> DataFrame:
+    """Winnowing fingerprint COUNTS as pure DataFrame ops: explode k-gram
+    positions -> k-gram hash -> struct-min over a w-row window (leftmost
     (hash, pos) argmin == the winnowing tie-break) -> drop consecutive
     repeats via lag.  The per-doc window partitions by doc, so work is
-    embarrassingly parallel across docs — the right shape at corpus
-    scale, where each doc is small but there are 10^10 of them.
+    embarrassingly parallel across docs.
+
+    ORACLE TWIN, not the production default: the position explode is one
+    row per character, ~100x amplification — use winnow_counts (linear
+    Arrow kernel) in pipelines.  hash_kind 'md5' (32-bit slice) is
+    DuckDB-bit-reproducible and feeds the contract gate; 'xxhash64' swaps
+    in the far cheaper JVM hash with the identical plan shape — the
+    middle ground when the windowed-SQL form itself is wanted at scale.
 
     Returns (id_col, n_fp) with n_fp = 0 for texts shorter than k.
-    Equivalent to len(winnow_fingerprints_py(text, k, w, 'md5')) —
-    asserted in tests."""
+    For 'md5', equivalent to len(winnow_fingerprints_py(text, k, w,
+    'md5')) — asserted in tests."""
     from pyspark.sql import Window
 
     t = F.lower(F.col(text_col))
+    gram = F.substring(F.col("_t"), F.col("i"), F.lit(k))
+    if hash_kind == "md5":
+        hcol = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    elif hash_kind == "xxhash64":
+        hcol = F.xxhash64(gram)
+    else:
+        raise ValueError(f"unknown hash_kind {hash_kind!r}")
     g = (
         df.where(F.length(t) >= k)
         .select(
@@ -324,11 +399,7 @@ def winnow_counts_sql(
             t.alias("_t"),
             F.explode(F.sequence(F.lit(1), F.length(t) - k + 1)).alias("i"),
         )
-        .select(
-            "doc", "i",
-            F.conv(F.substring(F.md5(F.substring(F.col("_t"), F.col("i"), F.lit(k))), 1, 8), 16, 10)
-            .cast("long").alias("h"),
-        )
+        .select("doc", "i", hcol.alias("h"))
     )
     wwin = Window.partitionBy("doc").orderBy("i").rowsBetween(0, w - 1)
     wall = Window.partitionBy("doc")

@@ -20,6 +20,21 @@ def test_meta_prescan_variants():
     assert sniff_charset(b'<meta charset="no-such-enc">') == "utf-8"
 
 
+def test_meta_prescan_requires_meta_tag_context():
+    """ADVICE r2: a bare 'charset=' outside a <meta> tag (URL query
+    string, visible text) must not trigger a spurious transcode."""
+    assert sniff_charset(b'<a href="/x?charset=gbk">link</a>') == "utf-8"
+    assert sniff_charset(b"<p>set charset=big5 in your editor</p>") == "utf-8"
+    # still detected inside a real meta tag, with other attrs in between
+    assert (
+        sniff_charset(b'<meta http-equiv="Content-Type" '
+                      b'content="text/html; charset=gbk">')
+        == "gbk"
+    )
+    # and the tag context cannot span a '>' into following text
+    assert sniff_charset(b"<meta name=x> charset=gbk oops") == "utf-8"
+
+
 def test_bom_strip_round_trip():
     s = "阳台 sun room"
     assert sniff_decode_py(b"\xef\xbb\xbf" + s.encode("utf-8")) == s

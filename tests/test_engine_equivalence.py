@@ -255,6 +255,37 @@ def test_tight_budget_spills_rounds(spark, tmp_path):
     assert engine_order == orc.order
 
 
+def test_frontier_delta_commit_touches_only_dirty_buckets(spark, tmp_path):
+    """VERDICT r2 #2: a round must rewrite O(touched buckets), not the
+    whole frontier.  With 64 buckets and a tight budget, later rounds'
+    commits must cover strictly fewer buckets than the table has, every
+    commit's coverage must be bounded by that round's scheduled+new rows
+    (a bucket is dirty only by losing or gaining rows), and the
+    equivalence gate must still hold bit-for-bit."""
+    cat, state, orc = _run_both(
+        spark, tmp_path, salt_buckets=1, use_bloom=True, round_seconds=6.0,
+        frontier_buckets=64,
+    )
+    _assert_match(spark, cat, state, orc)
+
+    manifest = cat.snapshots("frontier_pending")
+    partial = [m for m in manifest if m["mode"] == "buckets" and not m.get("reset")]
+    assert partial, "no partial bucket commits recorded"
+    assert any(len(m["buckets"]) < 64 for m in partial), (
+        "every round rewrote all 64 buckets — delta commit is not pruning"
+    )
+    # per-round bound: |dirty buckets| <= scheduled + new rows that round
+    met = cat.read(spark, "metrics")
+    by_round = {
+        (r.round, r.key): r.value
+        for r in met.where(F.col("key").isin("scheduled", "new_rows")).collect()
+    }
+    # bucket commits appear in round order after the reset commit
+    for rnd, m in enumerate(partial, start=1):
+        bound = by_round[(rnd, "scheduled")] + by_round[(rnd, "new_rows")]
+        assert len(m["buckets"]) <= bound, (rnd, len(m["buckets"]), bound)
+
+
 def test_all_round2_features_stacked(spark, tmp_path):
     """Feature-interaction gate: GBK corpus + charset sniff + cuckoo
     seen-filter + salted rank + shuffle-gated fetch join + robots parsed

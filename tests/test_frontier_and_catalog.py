@@ -47,6 +47,43 @@ def test_catalog_snapshots_and_rollback(spark, tmp_path):
     assert cat.current_snapshot_id("t") == s2 and s3 == s2 + 1
 
 
+def test_commit_buckets_partial_overwrite(spark, tmp_path):
+    """Bucketed partial-overwrite commits (the frontier's delta path):
+    only listed buckets change, empty coverage empties a bucket, and
+    time travel / rollback see consistent per-bucket states."""
+    cat = Catalog(str(tmp_path / "wh"))
+    B = 8
+    base = spark.range(64).withColumnRenamed("id", "k")
+    s1, n1 = cat.commit_buckets(base, "t", "k", B)  # reset (bootstrap)
+    assert n1 == 64 and cat.read(spark, "t").count() == 64
+
+    # rewrite buckets {0, 3}: k=64 lands in bucket 0, k=3 stays in 3
+    delta = spark.createDataFrame([(64,), (3,)], "k long")
+    s2, n2 = cat.commit_buckets(delta, "t", "k", B, buckets=[0, 3])
+    assert n2 == 2
+    got = sorted(r.k for r in cat.read(spark, "t").collect())
+    expect = sorted(
+        [k for k in range(64) if k % B not in (0, 3)] + [64, 3]
+    )
+    assert got == expect
+
+    # empty coverage: bucket 1 becomes empty even though no file is written
+    s3, _ = cat.commit_buckets(
+        spark.createDataFrame([], "k long"), "t", "k", B, buckets=[1]
+    )
+    got3 = sorted(r.k for r in cat.read(spark, "t").collect())
+    assert got3 == [k for k in expect if k % B != 1]
+
+    # time travel + rollback restore earlier per-bucket states
+    assert sorted(r.k for r in cat.read(spark, "t", snapshot_id=s1).collect()) \
+        == list(range(64))
+    assert sorted(r.k for r in cat.read(spark, "t", snapshot_id=s2).collect()) \
+        == expect
+    cat.rollback("t", s2)
+    assert sorted(r.k for r in cat.read(spark, "t").collect()) == expect
+    assert cat.current_snapshot_id("t") == s2 and s3 == s2 + 1
+
+
 def test_rank_by_budget_salted_equals_plain(spark):
     """Two-phase salted rank must pick exactly the same set as the plain
     per-host window (the over-admit proof in politeness.py)."""

@@ -172,3 +172,36 @@ def test_results_wide_reference_columns(spark, fixtures):
     r2 = rows["https://book.douban.com/b/2"]
     assert r2["书名"] == "only-name"
     assert all(r2[f] == "" for f in rules.BOOK_ITEM_FIELDS if f != "书名")
+
+
+def test_results_wide_dedups_colliding_field_names(spark):
+    """ADVICE r2: duplicate names within one rule's fields, or a
+    tmp_field colliding with a later rule's field, must produce exactly
+    one output column."""
+    import datetime
+
+    from crawler_spark.engine import results_wide
+
+    t = rules.Task(
+        name="t",
+        seeds=(),
+        rules={
+            "a": rules.FieldsRule(
+                fields=(rules.FieldSpec("x", r"x=(\d+)"),
+                        rules.FieldSpec("x", r"x2=(\d+)")),
+                tmp_field=("carry", "carry_key"),
+            ),
+            "b": rules.FieldsRule(
+                fields=(rules.FieldSpec("carry", r"c=(\d+)"),
+                        rules.FieldSpec("y", r"y=(\d+)")),
+            ),
+        },
+    )
+    ts = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    df = spark.createDataFrame(
+        [("t", "a", "u1", ts, {"x": "1", "carry": "2", "y": "3"})],
+        "task string, rule string, url string, ts timestamp, data map<string,string>",
+    )
+    wide = results_wide(df, t)
+    assert wide.columns == ["carry", "x", "y", "Url", "Time"]
+    assert len(wide.columns) == len(set(wide.columns))

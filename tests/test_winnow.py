@@ -39,6 +39,45 @@ def test_winnow_pandas_matches_python_rolling(spark):
     assert got == want
 
 
+def test_winnow_counts_prod_matches_python_rolling(spark):
+    """The PRODUCTION count kernel (vectorized numpy, no per-char Python)
+    must equal len(winnow_fingerprints_py(., 'rolling')) on every doc."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.n_fp for r in textops.winnow_counts(df, "doc_id").collect()}
+    want = {i: len(textops.winnow_fingerprints_py(t, 5, 4)) for i, t in DOCS}
+    assert got == want
+
+
+def test_winnow_count_vec_matches_python_fuzz():
+    """Property check on random unicode-ish strings and several (k, w)."""
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcdefg é中"
+    for _ in range(200):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
+        for k, w in ((5, 4), (3, 2), (7, 5)):
+            assert textops._winnow_count_vec(s, k, w) == len(
+                textops.winnow_fingerprints_py(s, k, w)
+            ), (s, k, w)
+
+
+def test_winnow_sql_xxhash64_variant(spark):
+    """The JVM-hash variant keeps the identical plan shape and the
+    winnowing density bounds; only pick positions may differ from md5."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_fp
+        for r in textops.winnow_counts_sql(df, "doc_id", hash_kind="xxhash64").collect()
+    }
+    for i, t in DOCS:
+        n_h = max(0, len(t) - 5 + 1)
+        if n_h == 0:
+            assert got[i] == 0, (i, got[i])
+        else:
+            assert 1 <= got[i] <= max(1, n_h - 4 + 1), (i, got[i])
+
+
 def test_winnow_hash_kinds_same_pick_structure():
     """Both hash kinds pick the same NUMBER of fingerprints for texts
     whose k-grams are all distinct is NOT guaranteed (different argmins)
