@@ -286,6 +286,49 @@ def q_corpus_clean(spark, sf_dir):
     return sampled.select("doc_id", "source")
 
 
+def q_events_window_stream(spark, sf_dir):
+    """Streaming-surface CORRECTNESS row (VERDICT r2 #8): tumbling
+    5-minute windowed counts + cent-sums per event_type computed BY THE
+    STRUCTURED STREAMING PATH — file-source readStream over the events
+    snapshot -> watermark -> window agg -> Trigger.AvailableNow memory
+    sink — then returned as the materialized result.  AvailableNow
+    drains exactly the committed files, so the stream over a static
+    snapshot is deterministic and the DuckDB oracle is the same agg via
+    epoch bucketing.  Window bounds cross the comparison boundary as
+    epoch-second longs (never raw timestamps), sums as cents-longs."""
+    from .streaming import run_to_memory
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        # the file source needs a directory; glob-filter to the events
+        # file within the sf dir
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # events.ts is TIMESTAMP_NTZ in parquet; watermarks require an
+        # instant.  Session tz is UTC (the sessionize row's epoch
+        # equality vs DuckDB asserts this), so the cast is lossless.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+    name = "events_window_stream_sink"
+    spark.catalog.dropTempView(name)  # stale sink from a previous run
+    out = run_to_memory(agg, name)
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).alias("win_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value_cents",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization over events (6 h gap): the batch window
     kernel; its applyInPandasWithState streaming twin is asserted equal
@@ -551,6 +594,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
     "sessionize": q_sessionize,
+    "events_window_stream": q_events_window_stream,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
     "corpus_clean": q_corpus_clean,
@@ -928,6 +972,15 @@ ORACLES = {
         from documents d join cut using (source)
         where cast(concat('0x', substr(md5('sample|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < cut.cut
+    """,
+    "events_window_stream": """
+        select cast(floor(epoch(ts) / 300) * 300 as bigint) as win_start_s,
+               event_type,
+               count(*) as n_events,
+               cast(sum(cast(floor(value * 100) as bigint)) as bigint)
+                 as sum_value_cents
+        from events
+        group by 1, 2
     """,
     "sessionize": """
         with e as (

@@ -69,6 +69,48 @@ def test_multiprobe_recall_at_sf01(spark):
     assert recall >= 0.9
 
 
+def test_lsh_prunes_on_clustered_corpus(spark):
+    """VERDICT r2 #7: on the near-uniform driver corpus a recall-1.0
+    probe ball covers ~64% of buckets, so the pruning win is invisible.
+    On a CLUSTERED corpus (the realistic embedding shape, via the
+    corpus knob) a small ball must reach recall >=0.9 while probing
+    <10% of the buckets AND scoring <15% of the corpus — i.e. the
+    bucket pruning actually prunes."""
+    from crawler_spark.corpus import clustered_embeddings
+    from crawler_spark.functions.similarity import (
+        _planes, lsh_bucket_col, multiprobe_buckets,
+    )
+
+    n_planes, max_h, k = 8, 1, 10
+    emb = clustered_embeddings(
+        spark, n_clusters=20, per_cluster=100, dim=32, spread=0.15
+    ).persist()
+    qv = list(emb.where(F.col("vec_id") == 0).first().embedding)
+
+    brute = [
+        r.vec_id
+        for r in similarity.brute_topk(emb, qv, k=k, exclude_id=0).collect()
+    ]
+    lsh = [
+        r.vec_id
+        for r in similarity.ann_topk_lsh(
+            emb, qv, k=k, exclude_id=0, n_planes=n_planes, max_hamming=max_h
+        ).collect()
+    ]
+    recall = len(set(lsh) & set(brute)) / k
+    assert recall >= 0.9, recall
+
+    # selectivity: the measured pruning pair the VERDICT asked for
+    probes = multiprobe_buckets(qv, _planes(n_planes, 32), max_h)
+    bucket_frac = len(probes) / (1 << n_planes)
+    assert bucket_frac < 0.10, bucket_frac  # 9/256 ~ 3.5%
+    bucketed = emb.withColumn("bucket", lsh_bucket_col("embedding", _planes(n_planes, 32)))
+    scored = bucketed.where(F.col("bucket").isin(probes)).count()
+    corpus_frac = scored / emb.count()
+    assert corpus_frac < 0.15, corpus_frac
+    emb.unpersist()
+
+
 @needs_testdata
 def test_single_probe_underfills_documented(spark):
     """The r1 failure mode, kept as a negative witness: a Hamming-0
