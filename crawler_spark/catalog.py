@@ -193,30 +193,71 @@ class Catalog:
                     total += pq.read_metadata(os.path.join(root, name)).num_rows
         return total
 
-    def _live_dirs(self, table: str, snapshot_id: int | None = None) -> list[str]:
-        manifest = self._load_manifest(table)
+    @staticmethod
+    def _live_rels(
+        manifest: list[dict], snapshot_id: int | None = None
+    ) -> tuple[list[str], dict[int, str]]:
+        """Live state as of ``snapshot_id``: (plain snapshot rel-dirs,
+        bucket -> owning snapshot rel-dir)."""
         if snapshot_id is not None:
             manifest = [m for m in manifest if m["id"] <= snapshot_id]
-        live: list[str] = []
+        plain: list[str] = []
         bucket_live: dict[int, str] = {}
         for m in manifest:
             mode = m["mode"]
             if mode == "overwrite":
-                live, bucket_live = [], {}
+                plain, bucket_live = [], {}
             if mode == "buckets":
                 if m.get("reset"):
-                    live, bucket_live = [], {}
-                snap_dir = os.path.join(self._table_dir(table), m["dir"])
+                    plain, bucket_live = [], {}
                 for b in m["buckets"]:
-                    bucket_live[b] = snap_dir
+                    bucket_live[b] = m["dir"]
             else:
-                live.append(os.path.join(self._table_dir(table), m["dir"]))
-        for b, snap_dir in sorted(bucket_live.items()):
+                plain.append(m["dir"])
+        return plain, bucket_live
+
+    def _live_dirs(self, table: str, snapshot_id: int | None = None) -> list[str]:
+        plain, bucket_live = self._live_rels(
+            self._load_manifest(table), snapshot_id
+        )
+        live = [os.path.join(self._table_dir(table), rel) for rel in plain]
+        for b, rel in sorted(bucket_live.items()):
             # partitionBy writes no dir for an empty bucket: bucket is empty
-            sub = os.path.join(snap_dir, f"_bucket={b}")
+            sub = os.path.join(self._table_dir(table), rel, f"_bucket={b}")
             if os.path.isdir(sub):
                 live.append(sub)
         return live
+
+    def expire_snapshots(self, table: str, keep_from: int) -> int:
+        """Iceberg expire_snapshots for the shim: delete snapshot dirs
+        referenced by NO snapshot state >= ``keep_from`` and drop their
+        manifest entries; returns the number of dirs removed.  A long
+        crawl otherwise accrues one dir per table per round forever.
+        Time travel / rollback to snapshots older than ``keep_from``
+        becomes unavailable — callers pass the id their checkpoint
+        state still needs (engine: the last committed round's snapshot)."""
+        manifest = self._load_manifest(table)
+        if not manifest:
+            return 0
+        referenced: set[str] = set()
+        ids = [m["id"] for m in manifest if m["id"] >= keep_from]
+        for sid in ids or [manifest[-1]["id"]]:
+            plain, bucket_live = self._live_rels(manifest, sid)
+            referenced.update(plain)
+            referenced.update(bucket_live.values())
+        kept, removed = [], 0
+        for m in manifest:
+            if m["dir"] in referenced or m["id"] >= keep_from:
+                kept.append(m)
+            else:
+                shutil.rmtree(
+                    os.path.join(self._table_dir(table), m["dir"]),
+                    ignore_errors=True,
+                )
+                removed += 1
+        if removed:
+            self._commit(table, kept)
+        return removed
 
     def read(
         self, spark: SparkSession, table: str, snapshot_id: int | None = None

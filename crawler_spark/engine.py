@@ -104,6 +104,18 @@ class CrawlConfig:
     # per round is the dominant cost.  Production sizing: enough buckets
     # that one bucket ~ one write task's worth of rows (e.g. 4096).
     frontier_buckets: int = 16
+    # every N rounds, rewrite ALL frontier buckets with the live set
+    # (deferred + new) instead of only the dirty ones: flushes the dead
+    # rows clean buckets may retain (depth-exceeded / now-seen /
+    # dup-copy lingerers) and resets the per-bucket commit chains.
+    # None = never compact (delta-only).  Iceberg equivalent: periodic
+    # rewrite_data_files on the frontier table.
+    frontier_compact_every: int | None = 8
+    # after each round's checkpoint, expire snapshot dirs no state >= the
+    # committed round can reference (Iceberg expire_snapshots): a long
+    # crawl otherwise accrues one dir per table per round forever.  Off
+    # by default so tests keep full time travel.
+    expire_snapshots: bool = False
     max_rounds: int = 64
     collect_metrics: bool = True
 
@@ -588,12 +600,20 @@ def run_round(
     B = cfg.frontier_buckets
     _bcol = F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
     _t = time.time()
+    compact = bool(
+        cfg.frontier_compact_every and round_no % cfg.frontier_compact_every == 0
+    )
     dirty = sorted(
         {r.b for r in scheduled.select(_bcol.alias("b")).distinct().collect()}
         | {r.b for r in new_rows.select(_bcol.alias("b")).distinct().collect()}
     )
     n_deferred = deferred.count()  # over the cached cand, no table scan
-    if dirty:
+    if compact:
+        # full rewrite of the live set: flushes clean buckets' dead rows
+        snaps["frontier_pending"], rows["frontier_pending"] = cat.commit_buckets(
+            deferred.unionByName(new_rows), "frontier_pending", "url_hash", B
+        )
+    elif dirty:
         delta = deferred.unionByName(new_rows).where(_bcol.isin(dirty))
         snaps["frontier_pending"], rows["frontier_pending"] = cat.commit_buckets(
             delta, "frontier_pending", "url_hash", B, buckets=dirty
@@ -661,6 +681,11 @@ def run_round(
         },
     }
     save_state(cat, new_state)
+    if cfg.expire_snapshots:
+        # the checkpoint just committed is the oldest state resume can
+        # target; dirs no snapshot >= it references are garbage
+        for table, sid in snaps.items():
+            cat.expire_snapshots(table, keep_from=int(sid))
     return new_state
 
 

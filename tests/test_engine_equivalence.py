@@ -286,6 +286,26 @@ def test_frontier_delta_commit_touches_only_dirty_buckets(spark, tmp_path):
         assert len(m["buckets"]) <= bound, (rnd, len(m["buckets"]), bound)
 
 
+def test_frontier_compaction_and_expiry_equivalence(spark, tmp_path):
+    """Periodic full-bucket compaction (flushes clean buckets' dead rows)
+    plus per-round snapshot expiry must leave every crawl artifact
+    bit-identical, and the warehouse must not accrue one dir per table
+    per round."""
+    import os
+
+    cat, state, orc = _run_both(
+        spark, tmp_path, salt_buckets=1, use_bloom=True, round_seconds=6.0,
+        frontier_buckets=16, frontier_compact_every=2, expire_snapshots=True,
+    )
+    _assert_match(spark, cat, state, orc)
+    assert state["round"] >= 4  # compaction actually fired (round 2, 4, ..)
+    fdir = str(tmp_path / "wh" / "frontier_pending")
+    n_dirs = len([d for d in os.listdir(fdir) if d.startswith("snap-")])
+    # without expiry: one dir per round + bootstrap; with it: only dirs a
+    # current bucket still references survive
+    assert n_dirs < state["round"] + 1, n_dirs
+
+
 def test_all_round2_features_stacked(spark, tmp_path):
     """Feature-interaction gate: GBK corpus + charset sniff + cuckoo
     seen-filter + salted rank + shuffle-gated fetch join + robots parsed

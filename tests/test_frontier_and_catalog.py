@@ -84,6 +84,40 @@ def test_commit_buckets_partial_overwrite(spark, tmp_path):
     assert cat.current_snapshot_id("t") == s2 and s3 == s2 + 1
 
 
+def test_expire_snapshots_prunes_unreferenced_dirs(spark, tmp_path):
+    """Iceberg-style expiry: dirs no snapshot >= keep_from references are
+    deleted; live data (including old commits still owning clean buckets)
+    survives."""
+    import os
+
+    cat = Catalog(str(tmp_path / "wh"))
+    B = 4
+    s1, _ = cat.commit_buckets(
+        spark.range(16).withColumnRenamed("id", "k"), "t", "k", B
+    )
+    # two rounds of partial rewrites of bucket 0 only
+    s2, _ = cat.commit_buckets(
+        spark.createDataFrame([(0,)], "k long"), "t", "k", B, buckets=[0]
+    )
+    s3, _ = cat.commit_buckets(
+        spark.createDataFrame([(4,)], "k long"), "t", "k", B, buckets=[0]
+    )
+    table_dir = str(tmp_path / "wh" / "t")
+    assert len([d for d in os.listdir(table_dir) if d.startswith("snap-")]) == 3
+
+    removed = cat.expire_snapshots("t", keep_from=s3)
+    # snap-2 (bucket 0's overwritten intermediate) is garbage; snap-1
+    # still owns buckets 1-3 and must survive even though id < keep_from
+    assert removed == 1
+    dirs = sorted(d for d in os.listdir(table_dir) if d.startswith("snap-"))
+    assert dirs == [f"snap-{s1:06d}", f"snap-{s3:06d}"]
+    got = sorted(r.k for r in cat.read(spark, "t").collect())
+    assert got == sorted([4] + [k for k in range(16) if k % B != 0])
+    # rollback to the kept id still works; to the expired one does not
+    cat.rollback("t", s3)
+    assert cat.current_snapshot_id("t") == s3
+
+
 def test_rank_by_budget_salted_equals_plain(spark):
     """Two-phase salted rank must pick exactly the same set as the plain
     per-host window (the over-admit proof in politeness.py)."""
