@@ -57,7 +57,7 @@ from .parsers import dispatch_cols
 from .politeness import apply_robots, rank_by_budget
 from .rules import FieldsRule, LinkRule, Task
 from .schemas import LINEAGE_SCHEMA, METRICS_SCHEMA, SEEN_SCHEMA
-from .seen import dedup_candidates
+from .seen import IncrementalBloom, dedup_candidates
 
 TABLES = [
     "frontier_pending", "seen", "results", "failures",
@@ -397,6 +397,7 @@ def run_round(
     pages_prepared: DataFrame,
     robots_df: DataFrame | None,
     cuckoo: CuckooSeen | None = None,
+    bloom: IncrementalBloom | None = None,
 ) -> dict:
     round_no = state["round"] + 1
     t0 = time.time()
@@ -415,10 +416,16 @@ def run_round(
         cand = cand.where(~_reload_col(cfg.tasks))
     _t = time.time()
     round_bcs: list = []  # probe broadcasts, destroyed after the round's actions
+    # prefilter precedence: the long-lived cuckoo (delete-capable), else
+    # the long-lived incremental bloom run_crawl maintains, else — for
+    # direct run_round callers without one — the legacy per-round bloom
+    # rebuild inside dedup_candidates
+    prefilter = cuckoo if cuckoo is not None else bloom
     cand = dedup_candidates(
-        cand, seen_df, state["seen_count"], use_bloom=cfg.filter_kind() == "bloom",
+        cand, seen_df, state["seen_count"],
+        use_bloom=(cfg.filter_kind() == "bloom" and prefilter is None),
         fpp=cfg.bloom_fpp, min_seen=cfg.bloom_min_seen,
-        cuckoo=cuckoo, bc_sink=round_bcs,
+        cuckoo=prefilter, bc_sink=round_bcs,
     )
     bloom_wall = time.time() - _t  # eager: the bloom build collects here
     # in-round duplicate URLs: keep the schedulable-first copy, drop the
@@ -535,6 +542,19 @@ def run_round(
         )
     commit(seen_delta, "seen")  # first action: populates the parsed cache
     n_seen_delta = rows["seen"]
+
+    # incremental bloom maintenance: OR the delta in at fixed geometry;
+    # rebuild from the committed seen table only on capacity saturation
+    # (doubling -> amortized O(1) full scans over the whole crawl, vs the
+    # old full rebuild EVERY round)
+    if bloom is not None and n_seen_delta:
+        if bloom.saturated_by(n_seen_delta):
+            bloom.rebuild_from(
+                cat.read(spark, "seen").select("url_hash"),
+                state["seen_count"] + n_seen_delta,
+            )
+        else:
+            bloom.or_delta(seen_delta.select("url_hash"), n_seen_delta)
 
     ok = parsed.where(~F.col("banned") & ~F.col("short"))
     items = ok.where(F.col("emit")).select(
@@ -700,10 +720,20 @@ def run_crawl(
     else:
         state = bootstrap(spark, cat, cfg)
     cuckoo: CuckooSeen | None = None
+    bloom: IncrementalBloom | None = None
     if cfg.filter_kind() == "cuckoo":
         cuckoo = CuckooSeen(capacity=max(state["seen_count"] * 2, 1 << 14))
         if state["seen_count"] and cat.exists("seen"):
             cuckoo.load_from_seen(spark, cat)
+    elif cfg.filter_kind() == "bloom":
+        bloom = IncrementalBloom(
+            capacity=max(state["seen_count"] * 2, 1 << 14), fpp=cfg.bloom_fpp
+        )
+        if state["seen_count"] and cat.exists("seen"):
+            # resume load: one distributed build from the seen table
+            bloom.rebuild_from(
+                cat.read(spark, "seen").select("url_hash"), state["seen_count"]
+            )
     pages_prepared = prepare_pages(spark.read.parquet(cfg.pages_path))
     robots_df: DataFrame | None = None
     if cfg.robots_path:
@@ -721,7 +751,9 @@ def run_crawl(
                 "host string, crawl_delay_s double, disallow_prefixes array<string>",
             )
     while not state["finished"] and state["round"] < cfg.max_rounds:
-        state = run_round(spark, cat, cfg, state, pages_prepared, robots_df, cuckoo)
+        state = run_round(
+            spark, cat, cfg, state, pages_prepared, robots_df, cuckoo, bloom
+        )
     return state
 
 

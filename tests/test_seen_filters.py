@@ -103,6 +103,33 @@ def test_dedup_candidates_cuckoo_exact(spark):
     assert keys == list(range(1, 100, 2))
 
 
+def test_incremental_bloom_no_false_negatives_across_deltas(spark):
+    """IncrementalBloom: OR-merged per-round deltas can never develop a
+    false negative, and the saturation rebuild keeps every key while
+    doubling capacity."""
+    import numpy as np
+
+    from crawler_spark.seen import IncrementalBloom
+
+    ib = IncrementalBloom(capacity=2048, fpp=0.01)
+    all_keys: list[int] = []
+    for r in range(5):
+        batch = list(range(r * 700, (r + 1) * 700))
+        all_keys += batch
+        if ib.saturated_by(len(batch)):
+            seen_df = _keys_df(spark, all_keys)
+            cap_before = ib.capacity
+            ib.rebuild_from(seen_df, len(all_keys))
+            assert ib.capacity >= 2 * cap_before or ib.capacity >= 2 * len(all_keys)
+        else:
+            ib.or_delta(_keys_df(spark, batch), len(batch))
+        got = ib.contains_many(np.array(all_keys, dtype=np.int64))
+        assert got.all(), f"round {r}: {(~got).sum()} false negatives"
+    # fpp sanity on the final filter
+    others = np.arange(10_000, 30_000, dtype=np.int64)
+    assert ib.contains_many(others).mean() < 0.05
+
+
 def _keys_df(spark, keys):
     return spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
 
