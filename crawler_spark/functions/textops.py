@@ -299,33 +299,46 @@ def winnow_fingerprints_py(
     return picks
 
 
-def _winnow_count_vec(s: str, k: int, w: int) -> int:
-    """Vectorized winnowing pick count — one numpy pass per document,
-    ``== len(winnow_fingerprints_py(s, k, w, 'rolling'))`` (asserted in
+def _winnow_picks_vec(s: str, k: int, w: int) -> "list[int] | None":
+    """Vectorized winnowing — one numpy pass per document, identical
+    picks to ``winnow_fingerprints_py(s, k, w, 'rolling')`` (asserted in
     tests).  Direct polynomial k-gram hashes via a sliding-window dot
     product (no per-character Python), leftmost-argmin per window,
-    consecutive-pick dedup as one vector compare."""
+    consecutive-pick dedup as one vector compare.  Returns None when the
+    int64-overflow gate fails (large k; caller falls back to the Python
+    rolling kernel)."""
     import numpy as np
 
     s = s.lower()
     n = len(s)
     if n < k:
-        return 0
+        return []
     B, M = 131, (1 << 61) - 1
     pows = [pow(B, k - 1 - j, M) for j in range(k)]
-    # int64-overflow gate: sum of k terms (coeff * max code point) must
-    # fit; true for the default k=5 (131^4 * 0x10FFFF * 5 ~ 2^60.7)
-    if max(pows) * 0x110000 * k >= (1 << 63):
-        return len(winnow_fingerprints_py(s, k, w))
     codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    # int64-overflow gate on the DOCUMENT'S max code point: sum of k
+    # terms (coeff * code) must fit int64.  Always true for the default
+    # k=5 (131^4 * 0x10FFFF * 5 ~ 2^60.7); ASCII text stays vectorized
+    # up to k~9
+    if max(pows) * int(codes.max()) * k >= (1 << 63):
+        return None
     win = np.lib.stride_tricks.sliding_window_view(codes, k)
     h = (win * np.array(pows, dtype=np.int64)).sum(axis=1) % M
     L = len(h)
     if L <= w:
-        return 1
+        return [int(h[min(range(L), key=lambda x: (h[x], x))])]
     wv = np.lib.stride_tricks.sliding_window_view(h, w)
     j = np.arange(L - w + 1) + wv.argmin(axis=1)  # argmin ties -> leftmost
-    return int(1 + (j[1:] != j[:-1]).sum())
+    keep = np.ones(len(j), dtype=bool)
+    keep[1:] = j[1:] != j[:-1]
+    return h[j[keep]].tolist()
+
+
+def _winnow_count_vec(s: str, k: int, w: int) -> int:
+    picks = _winnow_picks_vec(s, k, w)
+    if picks is None:
+        return len(winnow_fingerprints_py(s, k, w))
+    return len(picks)
 
 
 def winnow_counts(
@@ -426,17 +439,22 @@ def winnow_counts_sql(
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4) -> DataFrame:
-    """Arrow-batched winnowing: adds ``fingerprints array<long>``."""
+    """Arrow-batched winnowing: adds ``fingerprints array<long>``.
+    Vectorized numpy kernel per doc (identical picks to the pure-Python
+    rolling reference); per-character Python only for k large enough to
+    overflow the int64 dot product."""
     import pyspark.sql.types as T
 
     schema = T.StructType(df.schema.fields + [T.StructField("fingerprints", T.ArrayType(T.LongType()))])
 
+    def one(t: str) -> list[int]:
+        picks = _winnow_picks_vec(t, k, w)
+        return winnow_fingerprints_py(t, k, w) if picks is None else picks
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["fingerprints"] = [
-                winnow_fingerprints_py(t or "", k, w) for t in pdf[text_col]
-            ]
+            pdf["fingerprints"] = [one(t or "") for t in pdf[text_col]]
             yield pdf
 
     return df.mapInPandas(run, schema=schema)

@@ -10,13 +10,18 @@ cost a join probe, never a dropped URL (SURVEY.md §7 hard part 2).
 
 Scale notes:
 - the bloom is built *distributed* (per-partition numpy bitmaps OR-merged
-  on the driver) and broadcast; at 10^10 keys a single filter would be
-  ~10 GB, so production shards the filter by Iceberg host-bucket and
-  each executor loads only its buckets' shards.  The build/probe API here
-  is shard-ready (``build_bloom(df, ...)`` takes any pre-filtered slice).
+  on the driver) and broadcast.  The engine's default backend is
+  :class:`IncrementalBloom`: the round's seen delta is OR-merged in and
+  the filter is rebuilt from the seen table only on capacity saturation
+  — never a full-table rebuild per round.  At 10^10 keys a single
+  filter would be ~10 GB, so production additionally shards by Iceberg
+  host-bucket and each executor loads only its buckets' shards; the
+  build/probe API is shard-ready (``build_bloom(df, ...)`` takes any
+  pre-filtered slice), and the cuckoo backend (engine.CuckooSeen) runs
+  exactly that sharded update job today.
 - the cuckoo fallback supports *deletion*, matching the reference's
-  un-visit on fetch failure (crawler.go:180-185) for deployments that
-  maintain one incremental filter instead of rebuilding per round.
+  un-visit on fetch failure (crawler.go:180-185) for deployments whose
+  long-lived filter must also forget.
 """
 
 from __future__ import annotations

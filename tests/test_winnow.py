@@ -49,7 +49,9 @@ def test_winnow_counts_prod_matches_python_rolling(spark):
 
 
 def test_winnow_count_vec_matches_python_fuzz():
-    """Property check on random unicode-ish strings and several (k, w)."""
+    """Property check on random unicode-ish strings and several (k, w):
+    the vectorized kernel must reproduce the Python rolling reference's
+    exact pick VALUES (not just counts)."""
     import random
 
     rng = random.Random(11)
@@ -57,9 +59,16 @@ def test_winnow_count_vec_matches_python_fuzz():
     for _ in range(200):
         s = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
         for k, w in ((5, 4), (3, 2), (7, 5)):
-            assert textops._winnow_count_vec(s, k, w) == len(
-                textops.winnow_fingerprints_py(s, k, w)
-            ), (s, k, w)
+            want = textops.winnow_fingerprints_py(s, k, w)
+            assert textops._winnow_count_vec(s, k, w) == len(want), (s, k, w)
+            picks = textops._winnow_picks_vec(s, k, w)
+            if picks is None:
+                # int64-overflow gate (131^(k-1) * max_codepoint * k):
+                # documented Python fallback, hit for k=7 on astral-ish
+                # alphabets — counts above already verified the fallback
+                assert k >= 7, (s, k, w)
+            else:
+                assert picks == want, (s, k, w)
 
 
 def test_winnow_sql_xxhash64_variant(spark):
