@@ -69,6 +69,22 @@ def main() -> int:
         help="fetch-join build-side gate: above this, no broadcast hint",
     )
     ap.add_argument(
+        "--frontier-buckets", type=int, default=16,
+        help="pmod(url_hash, B) buckets for frontier delta commits "
+             "(production: ~4096 so one bucket ~ one write task)",
+    )
+    ap.add_argument(
+        "--frontier-compact-every", type=int, default=8,
+        help="full live-set rewrite every N rounds (0 = never); flushes "
+             "clean buckets' dead rows",
+    )
+    ap.add_argument(
+        "--expire-snapshots", action="store_true",
+        help="after each checkpoint, delete snapshot dirs no state >= "
+             "the committed round can reference (recommended for long "
+             "crawls; disables older time travel)",
+    )
+    ap.add_argument(
         "--wide-results", action="store_true",
         help="also write results_wide_<task> tables (one column per "
              "ItemField, the reference sink's schema)",
@@ -93,6 +109,9 @@ def main() -> int:
         seen_filter=args.seen_filter,
         charset_sniff=args.charset_sniff,
         broadcast_max_rows=args.broadcast_max_rows,
+        frontier_buckets=args.frontier_buckets,
+        frontier_compact_every=args.frontier_compact_every or None,
+        expire_snapshots=args.expire_snapshots,
         max_rounds=args.max_rounds,
     )
     cat = Catalog(args.warehouse)
