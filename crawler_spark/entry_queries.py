@@ -532,6 +532,19 @@ def q_knn_join(spark, sf_dir):
     return similarity.knn_join(emb, queries, k=3).select("q_id", "vec_id", "rank")
 
 
+def q_knn_join_lsh(spark, sf_dir):
+    """Bucket-pruned batch k-NN join — the scale path past knn_join's
+    query-broadcast ceiling: both sides hashed to hyperplane buckets,
+    shuffle join on bucket, exact top-k inside the candidates.
+    Rows-only driver check (the numpy-seeded planes are deterministic
+    but not SQL-reproducible); recall >=0.9 with a small ball on
+    clustered data is test-asserted
+    (test_knn_join_lsh_recall_on_clustered_corpus)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.knn_join_lsh(emb, queries, k=3, max_hamming=2)
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Exact all-pairs near-dup at a moderate threshold — the ORACLE
     ANCHOR for the blocked variant below.  Deliberately O(n^2): moderate
@@ -606,6 +619,7 @@ QUERIES = {
     "winnow_counts_prod": q_winnow_prod,
     "ann_brute_topk": q_ann_brute_topk,
     "knn_join": q_knn_join,
+    "knn_join_lsh": q_knn_join_lsh,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "cosine_neardup": q_cosine_neardup,

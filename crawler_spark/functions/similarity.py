@@ -276,6 +276,76 @@ def knn_join(
     )
 
 
+def probe_buckets_col(vec_col: str, planes: np.ndarray, max_hamming: int) -> Column:
+    """Per-row multi-probe Hamming ball as ``array<long>`` (the batch
+    twin of :func:`multiprobe_buckets` — same flips, union semantics, no
+    margin ordering needed since the caller takes the whole ball)."""
+    import itertools
+
+    P = planes
+    flips = [
+        int(sum(1 << c for c in combo))
+        for r in range(max_hamming + 1)
+        for combo in itertools.combinations(range(P.shape[0]), r)
+    ]
+
+    @F.pandas_udf("array<long>")
+    def ball(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())
+        signs = (M @ P.T) > 0
+        weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+        sigs = (signs @ weights).astype(np.int64)
+        return pd.Series([[int(s) ^ f for f in flips] for s in sigs])
+
+    return ball(F.col(vec_col))
+
+
+def knn_join_lsh(
+    emb: DataFrame, queries: DataFrame, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "vec_id", q_vec_col: str = "embedding",
+    n_planes: int = 8, max_hamming: int = 1, seed: int = 42,
+    dim: int | None = None, exclude_self: bool = True,
+) -> DataFrame:
+    """Bucket-pruned batch k-NN join — the scale path past
+    :func:`knn_join`'s query-broadcast ceiling.
+
+    Both sides are hashed to random-hyperplane buckets; each query joins
+    ONLY the corpus rows inside its multi-probe Hamming ball (a plain
+    shuffle join on ``bucket`` — no driver matrices, no broadcast, both
+    sides arbitrarily large), then the exact cosine top-k per query runs
+    inside the candidates (JVM higher-order dot + one window).  A corpus
+    row has exactly one bucket, so a (query, candidate) pair appears at
+    most once.  Approximate with LSH recall semantics: high on clustered
+    real-world embeddings with a small ball (measured in
+    tests/test_similarity_lsh.py), tunable via n_planes / max_hamming.
+
+    Returns (q_id, vec_id, rank), rank 1..k by (cos desc, vec_id asc).
+    """
+    if dim is None:
+        dim = len(queries.select(q_vec_col).first()[0])
+    P = _planes(n_planes, dim, seed)
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket_col("v", P))
+    qside = (
+        queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+        .withColumn("bucket", F.explode(probe_buckets_col("qv", P, max_hamming)))
+    )
+    cand = qside.join(corpus, "bucket")
+    if exclude_self:
+        cand = cand.where(F.col("q_id") != F.col("vec_id"))
+    scored = cand.select(
+        "q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ivf_build_index(
     emb: DataFrame, n_centroids: int = 16, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,

@@ -111,6 +111,87 @@ def test_lsh_prunes_on_clustered_corpus(spark):
     emb.unpersist()
 
 
+def test_knn_join_lsh_recall_on_clustered_corpus(spark):
+    """Bucket-pruned batch k-NN (the no-broadcast scale path): on the
+    clustered corpus, per-query recall vs the exact knn_join must
+    average >=0.9 with a 1-flip ball, while each query scores only a
+    small corpus fraction."""
+    from crawler_spark.corpus import clustered_embeddings
+
+    emb = clustered_embeddings(
+        spark, n_clusters=20, per_cluster=100, dim=32, spread=0.15
+    ).persist()
+    queries = emb.where(F.col("vec_id") % 100 == 0)  # one per cluster
+
+    exact = {}
+    for r in similarity.knn_join(emb, queries, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    approx = {}
+    for r in similarity.knn_join_lsh(
+        emb, queries, k=5, n_planes=8, max_hamming=1
+    ).collect():
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+
+    recalls = [
+        len(approx.get(q, set()) & hits) / len(hits) for q, hits in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
+
+    # selectivity: candidate pairs ≪ full cross product
+    from crawler_spark.functions.similarity import (
+        _planes, lsh_bucket_col, probe_buckets_col,
+    )
+
+    P = _planes(8, 32)
+    qb = queries.select("vec_id", "embedding").withColumn(
+        "bucket", F.explode(probe_buckets_col("embedding", P, 1))
+    )
+    cb = emb.withColumn("bucket", lsh_bucket_col("embedding", P))
+    n_cand = qb.join(cb.select("bucket"), "bucket").count()
+    n_full = queries.count() * emb.count()
+    assert n_cand / n_full < 0.15, n_cand / n_full
+    emb.unpersist()
+
+
+def test_ivf_indexed_prunes_on_clustered_corpus(spark):
+    """Train-once IVF lifecycle on the clustered corpus: with centroids
+    ~ clusters and a 2-of-20-cell probe (10%), recall vs brute must be
+    >=0.9 while the probed cells hold a small corpus fraction."""
+    from crawler_spark.corpus import clustered_embeddings
+
+    emb = clustered_embeddings(
+        spark, n_clusters=20, per_cluster=100, dim=32, spread=0.15
+    ).persist()
+    C, assigned = similarity.ivf_build_index(emb, n_centroids=20, n_iter=2)
+    assigned = assigned.persist()
+    qv = list(emb.where(F.col("vec_id") == 0).first().embedding)
+
+    brute = [
+        r.vec_id
+        for r in similarity.brute_topk(emb, qv, k=10, exclude_id=0).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in similarity.ann_topk_ivf_indexed(
+            assigned, C, qv, k=10, n_probe=2, exclude_id=0
+        ).collect()
+    ]
+    recall = len(set(got) & set(brute)) / 10
+    assert recall >= 0.9, recall
+
+    import numpy as np
+
+    probe_frac = 2 / 20
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    qn = np.asarray(qv) / np.linalg.norm(qv)
+    probe = np.argsort(-(Cn @ qn))[:2].tolist()
+    scanned = assigned.where(F.col("cell").isin(probe)).count()
+    corpus_frac = scanned / emb.count()
+    assert corpus_frac < 0.25, (probe_frac, corpus_frac)
+    emb.unpersist()
+    assigned.unpersist()
+
+
 @needs_testdata
 def test_single_probe_underfills_documented(spark):
     """The r1 failure mode, kept as a negative witness: a Hamming-0
