@@ -137,6 +137,20 @@ class Catalog:
         from pyspark.sql import functions as F
 
         manifest = self._load_manifest(table)
+        if buckets is not None:
+            # a PARTIAL commit must agree with the table's bucket modulus:
+            # rewriting "bucket 5 of 32" over data owned as "bucket 5 of
+            # 16" would silently orphan live rows.  Reset commits
+            # (buckets=None) may change the modulus — they rewrite
+            # everything.
+            cur = self.bucket_count(table)
+            if cur is not None and cur != n_buckets:
+                raise ValueError(
+                    f"commit_buckets({table!r}): partial commit with "
+                    f"n_buckets={n_buckets} but the table is bucketed by "
+                    f"{cur}; issue a reset commit (buckets=None) to "
+                    "change the modulus"
+                )
         snap_id = (manifest[-1]["id"] + 1) if manifest else 1
         rel = f"snap-{snap_id:06d}"
         out_dir = os.path.join(self._table_dir(table), rel)
@@ -228,6 +242,17 @@ class Catalog:
                 live.append(sub)
         return live
 
+    def bucket_count(self, table: str) -> int | None:
+        """The bucket modulus governing the table's live bucket state, or
+        None if no bucket commit is live."""
+        n = None
+        for m in self._load_manifest(table):
+            if m["mode"] == "overwrite":
+                n = None
+            elif m["mode"] == "buckets":
+                n = m.get("n_buckets")
+        return n
+
     def expire_snapshots(self, table: str, keep_from: int) -> int:
         """Iceberg expire_snapshots for the shim: delete snapshot dirs
         referenced by NO snapshot state >= ``keep_from`` and drop their
@@ -238,6 +263,10 @@ class Catalog:
         state still needs (engine: the last committed round's snapshot)."""
         manifest = self._load_manifest(table)
         if not manifest:
+            return 0
+        if all(m["mode"] == "append" for m in manifest):
+            # append-only table: every snapshot is live forever, nothing
+            # can ever be expired — skip the per-id liveness walk
             return 0
         referenced: set[str] = set()
         ids = [m["id"] for m in manifest if m["id"] >= keep_from]

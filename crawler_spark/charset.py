@@ -30,11 +30,16 @@ from pyspark.sql import functions as F
 
 # html5 meta prescan shapes: <meta charset="gbk"> and
 # <meta http-equiv="Content-Type" content="text/html; charset=gbk">.
-# Anchored to a <meta ...> tag context: a bare 'charset=' anywhere in the
-# first 1 KiB (a URL query string, visible text) must NOT trigger a
-# transcode (ADVICE r2) — html5's prescan only honors meta attributes.
+# Anchored to a <meta ...> tag context, and 'charset' must follow a
+# whitespace/quote/';' delimiter: a bare 'charset=' in a URL query
+# string or visible text (e.g. <meta property="og:url"
+# content="...?charset=big5">) must NOT trigger a transcode (ADVICE r2
+# + r3 review) — html5's prescan only honors attribute-position
+# charset.  Heuristic, not a full attribute parser: a space-separated
+# 'charset=' INSIDE a quoted attribute value would still match.
 _META_RE = re.compile(
-    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I
+    rb"""<meta\s[^>]{0,512}?(?<=[\s"';])charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""",
+    re.I,
 )
 
 SNIFF_BYTES = 1024  # reference Peek(1024), collect.go:94

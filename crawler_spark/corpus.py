@@ -328,12 +328,17 @@ def with_hot_shingle(
     id), planting shingles whose document frequency is hot_frac * n_docs
     — the web-scale stop-phrase shape (footer boilerplate) that makes an
     uncapped inverted-index self-join quadratic in the hot set.  Used to
-    evidence that ``max_df`` keeps the dedup family subquadratic."""
-    mod = max(1, round(1.0 / hot_frac))
+    evidence that ``max_df`` keeps the dedup family subquadratic.
+
+    Selection is ``id % 100 < round(hot_frac * 100)``, so for hot_frac
+    in whole percent and sequential ids the planted fraction is exact
+    (``round(1/hot_frac)``-style moduli drift badly: 0.3 -> 33.3%,
+    0.67 -> 100%)."""
+    cut = int(round(hot_frac * 100))
     return df.withColumn(
         text_col,
         F.when(
-            F.col(id_col) % mod == 0,
+            F.col(id_col) % 100 < cut,
             F.concat(F.col(text_col), F.lit(" " + hot_text)),
         ).otherwise(F.col(text_col)),
     )

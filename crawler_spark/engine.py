@@ -623,9 +623,17 @@ def run_round(
     compact = bool(
         cfg.frontier_compact_every and round_no % cfg.frontier_compact_every == 0
     )
+    # a resumed crawl may carry a different frontier_buckets than the
+    # table on disk; a partial commit under the new modulus would orphan
+    # rows owned under the old one, so force a reset commit instead
+    if cat.bucket_count("frontier_pending") not in (None, B):
+        compact = True
     dirty = sorted(
-        {r.b for r in scheduled.select(_bcol.alias("b")).distinct().collect()}
-        | {r.b for r in new_rows.select(_bcol.alias("b")).distinct().collect()}
+        r.b
+        for r in scheduled.select(_bcol.alias("b"))
+        .unionByName(new_rows.select(_bcol.alias("b")))
+        .distinct()
+        .collect()
     )
     n_deferred = deferred.count()  # over the cached cand, no table scan
     if compact:

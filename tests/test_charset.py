@@ -33,6 +33,15 @@ def test_meta_prescan_requires_meta_tag_context():
     )
     # and the tag context cannot span a '>' into following text
     assert sniff_charset(b"<meta name=x> charset=gbk oops") == "utf-8"
+    # r3 review: charset= inside an attribute VALUE (og:url query
+    # string) is not attribute-position charset -> must not transcode
+    assert (
+        sniff_charset(b'<meta property="og:url" '
+                      b'content="https://example.com/page?charset=big5">')
+        == "utf-8"
+    )
+    # <metadata ...> is not a <meta> tag
+    assert sniff_charset(b'<metadata charset="gbk">') == "utf-8"
 
 
 def test_bom_strip_round_trip():

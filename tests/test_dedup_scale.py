@@ -73,10 +73,12 @@ def test_max_df_cap_preserves_ordinary_pairs(spark):
     assert (1, 10_001) in pairs
     # no pair exists ONLY because of the boilerplate: every reported pair
     # shares >= half its real shingles, and boilerplate-only overlap for
-    # two 12-token docs is ~6/|union| << threshold
+    # two 12-token docs is ~6/|union| << threshold.  (hot docs are
+    # id % 100 < 50)
     hot_only = [
         (a, b) for a, b in pairs
-        if a != 1 and a % 2 == 0 and b % 2 == 0 and b < 10_000 and a < 10_000
+        if a != 1 and a % 100 < 50 and b % 100 < 50
+        and b < 10_000 and a < 10_000
     ]
     assert not hot_only, hot_only[:5]
 

@@ -84,6 +84,62 @@ def test_commit_buckets_partial_overwrite(spark, tmp_path):
     assert cat.current_snapshot_id("t") == s2 and s3 == s2 + 1
 
 
+def test_commit_buckets_rejects_modulus_mismatch(spark, tmp_path):
+    """r3 review: a partial commit under a different bucket modulus
+    would orphan rows owned under the old one — it must raise; a reset
+    commit may change the modulus."""
+    import pytest
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.commit_buckets(spark.range(16).withColumnRenamed("id", "k"), "t", "k", 8)
+    assert cat.bucket_count("t") == 8
+    with pytest.raises(ValueError, match="bucketed by 8"):
+        cat.commit_buckets(
+            spark.createDataFrame([(0,)], "k long"), "t", "k", 16, buckets=[0]
+        )
+    # reset commit rewrites everything: modulus change allowed
+    cat.commit_buckets(spark.range(16).withColumnRenamed("id", "k"), "t", "k", 16)
+    assert cat.bucket_count("t") == 16
+    assert cat.read(spark, "t").count() == 16
+
+
+def test_resume_with_different_frontier_buckets(spark, tmp_path):
+    """r3 review scenario: crawl 2 rounds at B=16, resume at B=32 — the
+    engine must force a reset commit under the new modulus instead of a
+    partial commit that silently drops pending rows; final artifacts
+    equal an uninterrupted B=32 run."""
+    import dataclasses
+
+    from crawler_spark import corpus, engine
+    from crawler_spark.rules import synthetic_tasks
+
+    pages_path = str(tmp_path / "pages")
+    corpus.write_corpus(spark, pages_path, n_hosts=3, n_filler=10)
+    tasks = synthetic_tasks(n_book_hosts=3, n_sun_hosts=2)
+    base = dict(tasks=tasks, pages_path=pages_path, round_seconds=6.0)
+
+    cat_ref = Catalog(str(tmp_path / "wh_ref"))
+    engine.run_crawl(spark, cat_ref, engine.CrawlConfig(**base, frontier_buckets=32))
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cfg16 = engine.CrawlConfig(**base, frontier_buckets=16)
+    pages_prepared = engine.prepare_pages(spark.read.parquet(pages_path))
+    state = engine.bootstrap(spark, cat, cfg16)
+    for _ in range(2):
+        state = engine.run_round(spark, cat, cfg16, state, pages_prepared, None)
+    assert not state["finished"]
+
+    cfg32 = dataclasses.replace(cfg16, frontier_buckets=32)
+    state = engine.resume(cat)
+    while not state["finished"] and state["round"] < cfg32.max_rounds:
+        state = engine.run_round(spark, cat, cfg32, state, pages_prepared, None)
+
+    for t in ("seen", "results", "schedule_log"):
+        got = sorted(map(str, cat.read(spark, t).drop("ts").collect()))
+        want = sorted(map(str, cat_ref.read(spark, t).drop("ts").collect()))
+        assert got == want, t
+
+
 def test_expire_snapshots_prunes_unreferenced_dirs(spark, tmp_path):
     """Iceberg-style expiry: dirs no snapshot >= keep_from references are
     deleted; live data (including old commits still owning clean buckets)
