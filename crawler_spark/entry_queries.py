@@ -286,6 +286,45 @@ def q_corpus_clean(spark, sf_dir):
     return sampled.select("doc_id", "source")
 
 
+def q_pii_redact(spark, sf_dir):
+    """Training-corpus PII scrub (textops.pii_redact): deterministic
+    emails / IPs / phone numbers are planted into the documents text
+    (same closed-form expression in Spark and the oracle), then the
+    shared regex chain redacts them.  Output = redacted text hash +
+    per-kind token counts, so the value hash proves substitution-exact
+    parity of the Java-regex and RE2 chains."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")
+        ).otherwise(F.lit("")),
+    )
+    red = textops.pii_redact(planted)
+    count_of = lambda tok: (F.size(F.split(red, F.lit(tok), -1)) - 1)  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        count_of("<EMAIL>").cast("long").alias("n_email"),
+        count_of("<IP>").cast("long").alias("n_ip"),
+        count_of("<PHONE>").cast("long").alias("n_phone"),
+    )
+
+
 def q_events_window_stream(spark, sf_dir):
     """Streaming-surface CORRECTNESS row (VERDICT r2 #8): tumbling
     5-minute windowed counts + cent-sums per event_type computed BY THE
@@ -608,6 +647,7 @@ QUERIES = {
     "repetition_scores": q_repetition_scores,
     "sessionize": q_sessionize,
     "events_window_stream": q_events_window_stream,
+    "pii_redact": q_pii_redact,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
     "corpus_clean": q_corpus_clean,
@@ -986,6 +1026,34 @@ ORACLES = {
         from documents d join cut using (source)
         where cast(concat('0x', substr(md5('sample|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < cut.cut
+    """,
+    "pii_redact": r"""
+        with planted as (
+          select doc_id,
+                 text
+                 || case when doc_id % 3 = 0
+                         then ' contact user' || cast(doc_id as varchar)
+                              || '@example.com' else '' end
+                 || case when doc_id % 5 = 0
+                         then ' from 10.0.' || cast(doc_id % 256 as varchar)
+                              || '.7' else '' end
+                 || case when doc_id % 7 = 0
+                         then ' call 555-867-5309' else '' end as t
+          from documents
+        ), red as (
+          select doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') as r
+          from planted
+        )
+        select doc_id, md5(r) as redacted_md5,
+               cast(len(str_split(r, '<EMAIL>')) - 1 as bigint) as n_email,
+               cast(len(str_split(r, '<IP>')) - 1 as bigint) as n_ip,
+               cast(len(str_split(r, '<PHONE>')) - 1 as bigint) as n_phone
+        from red
     """,
     "events_window_stream": """
         select cast(floor(epoch(ts) / 300) * 300 as bigint) as win_start_s,

@@ -23,6 +23,29 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 PUNCT_RE = r"[.,!?;:]"
 
 
+# PII patterns for training-corpus scrubbing.  Constructs restricted to
+# the Java-regex ∩ RE2 common subset so the Spark kernel and the DuckDB
+# oracle substitute identically (no lookaround, no backrefs).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(text: Column) -> Column:
+    """Redact emails, IPv4 literals, and US-style phone numbers — the
+    standard pre-training scrub pass.  A chain of JVM regexp_replace
+    (whole-stage codegen, no Python).  Pattern order is fixed and
+    identical in the DuckDB oracle; note the email rule requires an
+    alphabetic TLD, so a numeric-host 'a@1.2.3.4' falls through to the
+    IP rule (tests/test_pii.py pins this)."""
+    out = text
+    for pat, tok in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
 def token_count_ws(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(F.split(text, r"\s+"))
