@@ -325,6 +325,56 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style line-level boilerplate removal (dedup.drop_common_lines):
+    line structure is planted by inserting a newline after every 8 words
+    (same regexp in both engines), plus two shared footer lines on
+    doc_id % 2 / % 3 so real cross-document boilerplate exists.  Lines
+    whose trimmed form appears in >= 5 distinct docs are dropped and the
+    doc is reassembled in order; the value hash proves the drop set AND
+    the reassembly order match DuckDB exactly."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lined = F.regexp_replace(F.col("text"), r"((\S+ ){8})", "$1\n")
+    planted = F.concat(
+        lined,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("\nsubscribe to our newsletter for updates"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("\nall rights reserved terms of service apply"),
+        ).otherwise(F.lit("")),
+    )
+    out = dedup.drop_common_lines(
+        d.select("doc_id", planted.alias("text")), "doc_id", min_docs=5
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("kept_text").alias("kept_md5"),
+    )
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing
+    (textops.pack_sequences): per-source cumulative token offsets map
+    each document to its [first_chunk, last_chunk] range at seq_len=128.
+    Integer-exact window arithmetic in both engines."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return textops.pack_sequences(d, seq_len=128)
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Corpus-bigram LM fluency score (textops.bigram_lm_scores): the
+    CCNet-perplexity-filter shape with integer-exact micro-probability
+    arithmetic so Spark and DuckDB agree bit-for-bit (no float log or
+    unordered float summation)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return textops.bigram_lm_scores(d)
+
+
 def q_events_window_stream(spark, sf_dir):
     """Streaming-surface CORRECTNESS row (VERDICT r2 #8): tumbling
     5-minute windowed counts + cent-sums per event_type computed BY THE
@@ -648,6 +698,9 @@ QUERIES = {
     "sessionize": q_sessionize,
     "events_window_stream": q_events_window_stream,
     "pii_redact": q_pii_redact,
+    "line_dedup": q_line_dedup,
+    "sequence_pack": q_sequence_pack,
+    "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
     "corpus_clean": q_corpus_clean,
@@ -1026,6 +1079,83 @@ ORACLES = {
         from documents d join cut using (source)
         where cast(concat('0x', substr(md5('sample|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < cut.cut
+    """,
+    "sequence_pack": r"""
+        with t as (
+          select doc_id, source,
+                 cast(len(regexp_split_to_array(text, '\s+')) as bigint)
+                   as n_tokens
+          from documents
+        ), c as (
+          select doc_id, source, n_tokens,
+                 sum(n_tokens) over (partition by source order by doc_id
+                   rows between unbounded preceding and current row)
+                 - n_tokens as off
+          from t
+        )
+        select doc_id, source, n_tokens,
+               cast(off // 128 as bigint) as first_chunk,
+               cast((off + greatest(n_tokens, 1) - 1) // 128 as bigint)
+                 as last_chunk,
+               cast((off + greatest(n_tokens, 1) - 1) // 128
+                    - off // 128 + 1 as bigint) as n_chunks
+        from c
+    """,
+    "bigram_lm": r"""
+        with w as (
+          select doc_id, regexp_split_to_array(lower(text), '\s+') as l
+          from documents
+        ), big as (
+          select doc_id,
+                 unnest(l[1:len(l)-1]) as w1,
+                 unnest(l[2:len(l)]) as w2
+          from w
+        ), c2 as (
+          select w1, w2, count(*) as c2 from big group by 1, 2
+        ), c1 as (
+          select w1, sum(c2) as c1 from c2 group by 1
+        ), model as (
+          select c2.w1, c2.w2,
+                 cast(floor(c2.c2 * 1000000 / c1.c1) as bigint) as p_micro
+          from c2 join c1 using (w1)
+        )
+        select b.doc_id,
+               cast(count(*) as bigint) as n_bigrams,
+               cast(floor(sum(p_micro) / count(*)) as bigint)
+                 as lm_score_micro
+        from big b join model m on b.w1 = m.w1 and b.w2 = m.w2
+        group by b.doc_id
+    """,
+    "line_dedup": r"""
+        with planted as (
+          select doc_id,
+                 regexp_replace(text, '((\S+ ){8})', '\1' || chr(10), 'g')
+                 || case when doc_id % 2 = 0
+                         then chr(10) || 'subscribe to our newsletter for updates'
+                         else '' end
+                 || case when doc_id % 3 = 0
+                         then chr(10) || 'all rights reserved terms of service apply'
+                         else '' end as t
+          from documents
+        ), lines as (
+          select doc_id,
+                 unnest(string_split(t, chr(10))) as line,
+                 unnest(range(1, len(string_split(t, chr(10))) + 1)) as pos
+          from planted
+        ), boiler as (
+          select md5(trim(line)) as fp
+          from lines group by 1 having count(distinct doc_id) >= 5
+        ), tagged as (
+          select l.doc_id, l.pos, l.line, b.fp is not null as is_b
+          from lines l left join boiler b on md5(trim(l.line)) = b.fp
+        )
+        select doc_id,
+               cast(count(*) as bigint) as n_lines,
+               cast(count(*) filter (where not is_b) as bigint) as n_kept,
+               md5(coalesce(
+                 string_agg(line, chr(10) order by pos) filter (where not is_b),
+                 '')) as kept_md5
+        from tagged group by doc_id
     """,
     "pii_redact": r"""
         with planted as (

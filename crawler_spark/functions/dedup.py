@@ -359,6 +359,63 @@ def simhash_md5_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     )
 
 
+def drop_common_lines(df: DataFrame, id_col: str, text_col: str = "text",
+                      min_docs: int = 3, sep: str = "\n",
+                      broadcast_boiler: bool = True) -> DataFrame:
+    """C4-style line-level boilerplate removal: a line whose trimmed form
+    appears in >= ``min_docs`` distinct documents is dropped from every
+    document; surviving lines are reassembled in original order.
+
+    Returns one row per input document:
+    ``(id, n_lines, n_kept, kept_text)`` — kept_text = '' when every
+    line is boilerplate (the caller typically filters those docs out).
+
+    Scale shape: posexplode is a scan-local ~lines-per-doc row expansion;
+    the boilerplate set is one shuffle on the line fingerprint with
+    map-side partial distinct; the tag join keys on the same fingerprint
+    (hot boilerplate fps are exactly the skewed keys — AQE skew-join
+    handles them, or broadcast the boilerplate set, which is tiny: only
+    fps with >= min_docs owners survive the HAVING); reassembly is one
+    shuffle on the doc id.  Everything is built-in SQL — no Python.
+    """
+    ident = F.col(id_col)
+    lines = df.select(
+        ident.alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__fp", F.md5(F.trim(F.col("__line"))))
+    boiler = (
+        lines.groupBy("__fp")
+        .agg(F.countDistinct("__doc").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__fp")
+    )
+    if broadcast_boiler:
+        # the boilerplate set (distinct fps owned by >= min_docs docs) is
+        # orders of magnitude smaller than the corpus and broadcasting it
+        # sidesteps the hot-fp shuffle skew; pass False at extreme scale
+        # to fall back to a shuffled join under AQE skew handling.
+        boiler = F.broadcast(boiler)
+    tagged = lines.join(boiler.withColumn("__is_b", F.lit(True)), "__fp", "left")
+    kept_struct = F.when(
+        F.col("__is_b").isNull(), F.struct(F.col("__pos"), F.col("__line"))
+    )
+    return (
+        tagged.groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(kept_struct).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s.getField("__line"),
+                ),
+                sep,
+            ).alias("kept_text"),
+        )
+        .withColumnRenamed("__doc", id_col)
+    )
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs within Hamming distance via 4x16-bit band blocking

@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small closed-class English stopword set for the n-gram/stopword heuristic
@@ -481,3 +481,95 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5, w: in
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+# ----------------------------------------------------- sequence packing
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "source",
+    seq_len: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (GPT-style): documents
+    are concatenated in deterministic (id) order within each ``part_col``
+    shard and cut into fixed ``seq_len``-token chunks; a document may
+    straddle a chunk boundary.  Returns, per document, its token count
+    and the [first_chunk, last_chunk] range it lands in within its shard
+    — exactly what a sequence-assembly job needs to co-locate the pieces
+    of each output sequence.
+
+    Scale shape: one window per shard (cumulative token sum in id
+    order).  The running sum is inherently sequential *within* a shard,
+    so shards are the parallelism unit — at 100 TB pack per (source,
+    bucket) sub-shard rather than per source; packing only needs a
+    deterministic order, not a single global one.  All integer
+    arithmetic, whole-stage codegen, no Python.
+    """
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    toks = token_count_ws(F.col(text_col)).cast("long")
+    out = (
+        df.select(F.col(id_col), F.col(part_col), toks.alias("n_tokens"))
+        .withColumn("__end", F.sum("n_tokens").over(w))
+        .withColumn("__off", F.col("__end") - F.col("n_tokens"))
+    )
+    first = F.floor(F.col("__off") / seq_len).cast("long")
+    last = F.floor(
+        (F.col("__off") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / seq_len
+    ).cast("long")
+    return out.select(
+        id_col, part_col, "n_tokens",
+        first.alias("first_chunk"), last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )
+
+
+# ----------------------------------------------------- bigram LM quality
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style corpus-LM fluency score, integer-exact: train a word
+    bigram model on the corpus itself (c(w1,w2) and c(w1,·) as shuffle
+    aggs), then score each document by the mean conditional probability
+    of its bigrams, in micro units:
+
+        per-bigram  p_micro = floor(1e6 * c(w1,w2) / c(w1,·))
+        per-doc     lm_score_micro = floor(avg(p_micro))
+
+    Boilerplate-heavy or template text scores high, rare/garbled text
+    scores low — the same separation a KenLM perplexity filter gives,
+    with the model swap-in being a broadcast-join against external
+    (w1,w2)->logp tables.  All counting/scoring is integer arithmetic so
+    the result is bit-identical across engines (no float log / float
+    summation order anywhere).
+
+    Scale shape: one (w1,w2) shuffle to train, one w1-sum over the
+    trained table (tiny), one join of corpus bigrams against the model
+    keyed (w1,w2) — hot head-words are the skewed keys; AQE skew-join or
+    broadcasting the model head handles them.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    pairs = F.arrays_zip(
+        F.slice(words, 1, n - 1).alias("w1"), F.slice(words, 2, n - 1).alias("w2")
+    )
+    big = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(pairs).alias("p"))
+        .select("__doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = c2.join(c1, "w1").withColumn(
+        "p_micro", F.floor(F.col("c2") * 1_000_000 / F.col("c1")).cast("long")
+    )
+    return (
+        big.join(model.select("w1", "w2", "p_micro"), ["w1", "w2"])
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(F.sum("p_micro") / F.count(F.lit(1))).cast("long").alias(
+                "lm_score_micro"
+            ),
+        )
+        .withColumnRenamed("__doc", id_col)
+    )
