@@ -406,6 +406,30 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_host_rank(spark, sf_dir):
+    """Iterative link-graph rank (graph.pagerank_micro, 3 iterations):
+    a deterministic 97-node host graph is derived from doc_id with two
+    out-edges per document (same arithmetic in both engines); the DuckDB
+    oracle unrolls the exact integer fixed-point iterations as chained
+    CTEs, so the hash match verifies the whole iterative computation —
+    join, floor-divided contributions, teleport — not just one step."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 97).alias("dst"),
+    )
+    return graph.pagerank_micro(e1.union(e2), iterations=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank_micro").cast("long").alias("rank_micro"),
+    )
+
+
 def q_events_window_stream(spark, sf_dir):
     """Streaming-surface CORRECTNESS row (VERDICT r2 #8): tumbling
     5-minute windowed counts + cent-sums per event_type computed BY THE
@@ -732,6 +756,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "sequence_pack": q_sequence_pack,
     "warc_roundtrip": q_warc_roundtrip,
+    "host_rank": q_host_rank,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1111,6 +1136,56 @@ ORACLES = {
         from documents d join cut using (source)
         where cast(concat('0x', substr(md5('sample|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < cut.cut
+    """,
+    "host_rank": """
+        with edges as (
+          select distinct src, dst from (
+            select doc_id % 97 as src, (doc_id * 31 + 7) % 97 as dst
+            from documents
+            union all
+            select doc_id % 97, (doc_id * 17 + 3) % 97 from documents
+          )
+        ), nodes as (
+          select src as node from edges union select dst from edges
+        ), deg as (
+          select src, count(*) as deg from edges group by 1
+        ), r0 as (
+          select node, cast(1000000 as bigint) as rank_micro from nodes
+        ), s1 as (
+          select e.dst as node,
+                 sum(cast(floor(r.rank_micro / d.deg) as bigint)) as csum
+          from edges e join r0 r on r.node = e.src
+                       join deg d on d.src = e.src
+          group by 1
+        ), r1 as (
+          select n.node,
+                 cast(150000 + floor(85 * coalesce(s.csum, 0) / 100)
+                      as bigint) as rank_micro
+          from nodes n left join s1 s using (node)
+        ), s2 as (
+          select e.dst as node,
+                 sum(cast(floor(r.rank_micro / d.deg) as bigint)) as csum
+          from edges e join r1 r on r.node = e.src
+                       join deg d on d.src = e.src
+          group by 1
+        ), r2 as (
+          select n.node,
+                 cast(150000 + floor(85 * coalesce(s.csum, 0) / 100)
+                      as bigint) as rank_micro
+          from nodes n left join s2 s using (node)
+        ), s3 as (
+          select e.dst as node,
+                 sum(cast(floor(r.rank_micro / d.deg) as bigint)) as csum
+          from edges e join r2 r on r.node = e.src
+                       join deg d on d.src = e.src
+          group by 1
+        ), r3 as (
+          select n.node,
+                 cast(150000 + floor(85 * coalesce(s.csum, 0) / 100)
+                      as bigint) as rank_micro
+          from nodes n left join s3 s using (node)
+        )
+        select cast(node as bigint) as node, rank_micro from r3
     """,
     "warc_roundtrip": """
         select doc_id,
