@@ -430,6 +430,30 @@ def q_host_rank(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pair clustering (graph.connected_components): the step a
+    dedup pipeline runs AFTER minhash/simhash emit pairs — collapse the
+    pair graph into components and keep one doc per component.  The
+    edge set here is deterministic doc_id arithmetic building 5
+    components of diameter ~8 (40 star hubs + length-8 hub chains), so
+    the hash match proves the hash-min loop actually ran to convergence
+    — a fixed-2-sweep fake returns wrong labels.  Oracle = DuckDB
+    recursive CTE computing true min-reachable-id per node."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    stars = d.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") % 40).alias("b")
+    )
+    chains = d.filter((F.col("doc_id") >= 5) & (F.col("doc_id") <= 39)).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") - 5).alias("b")
+    )
+    return graph.connected_components(stars.union(chains)).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_events_window_stream(spark, sf_dir):
     """Streaming-surface CORRECTNESS row (VERDICT r2 #8): tumbling
     5-minute windowed counts + cent-sums per event_type computed BY THE
@@ -757,6 +781,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "warc_roundtrip": q_warc_roundtrip,
     "host_rank": q_host_rank,
+    "dedup_clusters": q_dedup_clusters,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1186,6 +1211,26 @@ ORACLES = {
           from nodes n left join s3 s using (node)
         )
         select cast(node as bigint) as node, rank_micro from r3
+    """,
+    "dedup_clusters": """
+        with recursive ed as (
+          select doc_id as a, doc_id % 40 as b from documents
+          union
+          select doc_id, doc_id - 5 from documents
+          where doc_id between 5 and 39
+        ), edges as (
+          select a as src, b as dst from ed
+          union
+          select b, a from ed
+        ), reach(node, lab) as (
+          select src, src from edges
+          union
+          select e.src, r.lab
+          from edges e join reach r on r.node = e.dst
+        )
+        select cast(node as bigint) as node,
+               cast(min(lab) as bigint) as component
+        from reach group by 1
     """,
     "warc_roundtrip": """
         select doc_id,

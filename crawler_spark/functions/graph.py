@@ -73,3 +73,87 @@ def pagerank_micro(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list ``(a, b)``.
+    Returns ``(node, component)`` where ``component`` is the minimum
+    node id reachable from ``node`` — the canonical cluster label a
+    dedup pipeline keys on (keep ``node == component``, drop the rest).
+
+    Hash-min label propagation WITH POINTER JUMPING, run to
+    convergence: each sweep every node takes the min label over itself
+    and its neighbours (one edge join + groupBy-min), then follows its
+    own label one step (labels self-join — path compression), so label
+    reach roughly doubles per sweep and convergence is O(log diameter)
+    sweeps, not O(diameter) — the same doubling idea as the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond").  The loop stops when a sweep
+    changes nothing; labels only ever decrease, so "sum(component)
+    unchanged" ⇔ fixed point — one cheap agg per sweep on
+    materialized partitions, no comparison join (driver-side
+    convergence checks are the idiomatic Spark shape for iterative
+    jobs, cf. GraphX Pregel).
+
+    Scale shape per sweep: one join labels⋈edges on src (shuffle on
+    node id) + one groupBy dst min — map-side partial min, no skew
+    beyond the graph's own degree skew (hub nodes are exactly the rows
+    AQE skew-split handles).  The edge set and each sweep's labels are
+    eagerly localCheckpoint'ed: edges are scanned/distinct'ed ONCE (not
+    once per sweep), the convergence count reads materialized
+    partitions instead of recomputing the whole chain, and lineage
+    stays flat so 50-sweep runs don't replan O(n²) DAGs.  Integer
+    labels only — bit-identical across engines and partitionings.
+    """
+    both = pairs.select(
+        F.col(pairs.columns[0]).cast("long").alias("src"),
+        F.col(pairs.columns[1]).cast("long").alias("dst"),
+    )
+    edges = both.union(
+        both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        neigh_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        half = labels.join(neigh_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component <- min(component, label(component)).
+        # Every label is itself a node id, so the lookup always lands.
+        lookup = half.select(
+            F.col("node").alias("_ln"), F.col("component").alias("_lc")
+        )
+        labels = (
+            half.join(lookup, half.component == lookup._ln, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_lc"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} sweeps "
+        "(diameter too large — switch to the large-star/small-star variant)"
+    )

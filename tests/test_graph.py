@@ -40,3 +40,36 @@ def test_pagerank_micro_checkpoint_invariant(spark):
     plain = _ranks(spark, edges, iterations=5, checkpoint_every=100)
     ckpt = _ranks(spark, edges, iterations=5, checkpoint_every=2)
     assert plain == ckpt
+
+
+def _components(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    return {
+        r["node"]: r["component"]
+        for r in graph.connected_components(df, **kw).collect()
+    }
+
+
+def test_connected_components_two_clusters(spark):
+    # {1,2,3} via 1-2, 2-3 ; {10,11} ; isolated self-loop 20-20
+    got = _components(spark, [(2, 1), (3, 2), (11, 10), (20, 20)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # chain 0-1-2-...-12: diameter 12 forces >4 hash-min sweeps, and the
+    # min label must still reach the far end (checkpointing included).
+    chain = [(i, i + 1) for i in range(12)]
+    got = _components(spark, chain)
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_connected_components_iteration_cap_raises(spark):
+    import pytest
+
+    # pointer jumping doubles reach per sweep, so a cap of 2 needs a
+    # chain well past 2^2+1 hops to be guaranteed unconverged.
+    chain = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(chain, ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, max_iterations=2)
