@@ -454,6 +454,72 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train-test decontamination (dedup.contaminated_docs): docs with
+    doc_id % 97 == 0 play the benchmark/eval set; every other doc
+    sharing >= 3 distinct word trigrams with it is flagged.  The
+    benchmark shingle set is broadcast — the corpus is never shuffled
+    for the probe."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.contaminated_docs(corpus, bench, n=3, min_hits=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Recrawl differencing (snapshots.snapshot_diff): snapshot B is a
+    deterministic perturbation of A (doc_id % 17 == 3 removed,
+    % 10 == 1 content-changed, % 13 == 5 re-added under a new url id);
+    the full-outer fingerprint join classifies added/removed/changed
+    and drops the unchanged majority."""
+    from .functions import snapshots
+
+    docs = _docs(spark, sf_dir)
+    old = docs.select(
+        F.col("doc_id").alias("url_id"), F.md5("text").alias("fp")
+    )
+    new = docs.where(F.col("doc_id") % 17 != 3).select(
+        F.col("doc_id").alias("url_id"),
+        F.when(
+            F.col("doc_id") % 10 == 1,
+            F.md5(F.concat(F.col("text"), F.lit("!"))),
+        ).otherwise(F.md5("text")).alias("fp"),
+    )
+    added = docs.where(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 10000000).alias("url_id"),
+        F.md5("text").alias("fp"),
+    )
+    return snapshots.snapshot_diff(
+        old, new.union(added), key_col="url_id"
+    ).select(F.col("url_id").cast("long").alias("url_id"), "status")
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX-style archive index (urlnorm.surt_col): urls are synthesized
+    with mixed-case host + fragment so the row exercises the full
+    canonicalize -> SURT chain; the oracle states the expected SURT in
+    closed form, so any canon/SURT divergence hash-fails."""
+    from .urlnorm import canon_col, surt_col
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://P"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".h"), (F.col("doc_id") % 53).cast("string"),
+        F.lit(".Example.COM/Doc/"), F.col("doc_id").cast("string"),
+        F.lit("?s="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("#frag"),
+    )
+    return docs.select(
+        surt_col(url).alias("surt"),
+        canon_col(url).alias("url"),
+        F.substring(F.md5("text"), 1, 16).alias("digest"),
+        F.col("n_chars").cast("long").alias("length"),
+    )
+
+
 def q_events_window_stream(spark, sf_dir):
     """Streaming-surface CORRECTNESS row (VERDICT r2 #8): tumbling
     5-minute windowed counts + cent-sums per event_type computed BY THE
@@ -782,6 +848,9 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "host_rank": q_host_rank,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
+    "snapshot_diff": q_snapshot_diff,
+    "cdx_index": q_cdx_index,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1231,6 +1300,53 @@ ORACLES = {
         select cast(node as bigint) as node,
                cast(min(lab) as bigint) as component
         from reach group by 1
+    """,
+    "decontaminate": """
+        with toks as (select doc_id, string_split(text, ' ') as t from documents),
+        sh as (
+          select distinct doc_id as doc,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] as shingle
+          from toks, unnest(generate_series(1, len(t)-2)) as u(i)
+          where len(t) >= 3
+        ), bset as (
+          select distinct shingle from sh where doc % 97 = 0
+        )
+        select cast(doc as bigint) as doc_id,
+               cast(count(*) as bigint) as n_hits
+        from sh join bset using (shingle)
+        where doc % 97 <> 0
+        group by 1 having count(*) >= 3
+    """,
+    "snapshot_diff": """
+        with old as (select doc_id as url_id, md5(text) as fp from documents),
+        new as (
+          select doc_id as url_id,
+                 case when doc_id % 10 = 1 then md5(text || '!')
+                      else md5(text) end as fp
+          from documents where doc_id % 17 <> 3
+          union all
+          select doc_id + 10000000, md5(text)
+          from documents where doc_id % 13 = 5
+        ), j as (
+          select coalesce(o.url_id, n.url_id) as url_id,
+                 o.fp as fp_old, n.fp as fp_new
+          from old o full outer join new n on o.url_id = n.url_id
+        )
+        select cast(url_id as bigint) as url_id,
+               case when fp_old is null then 'added'
+                    when fp_new is null then 'removed'
+                    when fp_old <> fp_new then 'changed' end as status
+        from j
+        where fp_old is null or fp_new is null or fp_old <> fp_new
+    """,
+    "cdx_index": """
+        select 'com,example,h' || (doc_id % 53) || ',p' || (doc_id % 7)
+               || ')/Doc/' || doc_id || '?s=' || (doc_id % 3) as surt,
+               'https://p' || (doc_id % 7) || '.h' || (doc_id % 53)
+               || '.example.com/Doc/' || doc_id || '?s=' || (doc_id % 3) as url,
+               substr(md5(text), 1, 16) as digest,
+               cast(n_chars as bigint) as length
+        from documents
     """,
     "warc_roundtrip": """
         select doc_id,

@@ -443,3 +443,32 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with a benchmark/eval set (the train-test-overlap scrub every
+    LLM data pipeline runs before training — cf. GPT-3 appx C / PaLM
+    13-gram decontamination; n is a knob).  Returns ``(doc_id, n_hits)``
+    where n_hits = distinct contaminated shingles in the doc.
+
+    Scale shape: the benchmark shingle set is tiny (eval suites are
+    MB-scale) and is broadcast, so the 100 TB corpus is streamed through
+    a map-side hash join — no corpus shuffle for the probe; the only
+    shuffle is the per-doc hit count with map-side combine.
+    """
+    csh = shingles(corpus, id_col, text_col, n)
+    bset = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    return (
+        csh.join(F.broadcast(bset), "shingle")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )

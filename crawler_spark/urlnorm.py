@@ -47,6 +47,23 @@ def host_col(url: Column) -> Column:
     )
 
 
+def surt_col(url: Column) -> Column:
+    """SURT-style sort key (web-archive CDX convention): host labels
+    reversed and comma-joined, then ``)`` + canonical path+query —
+    ``https://a.b.example.com/p?q=1`` → ``com,example,b,a)/p?q=1``.
+    Grouping/sorting by SURT clusters a registrable domain's pages
+    contiguously, which is what makes CDX indexes range-scannable;
+    as a Spark sort key it also makes per-domain parquet row-groups
+    contiguous (statistics-prunable).  Pure codegen string ops."""
+    canon = canon_col(url)
+    host = host_col(url)
+    rest = F.regexp_replace(canon, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.concat(
+        F.concat_ws(",", F.reverse(F.split(host, r"\."))), F.lit(")"), rest
+    )
+
+
 def url_hash_col(url_norm: Column, method: Column) -> Column:
     """64-bit dedup key: xxhash64(canonical_url || '|' || method).
 
