@@ -20,10 +20,16 @@ repetition_scores, stratified_sample, sessionize (batch kernel of the
 stateful-streaming twin), dedup_exact, dedup_ngram_jaccard,
 dedup_minhash_lsh, simhash_pairs, winnow_fingerprints,
 multimodal_decode, frame_sample, audio_resample, ann_brute_topk,
-ann_lsh_topk, ann_ivf_topk, cosine_neardup, cosine_neardup_lsh — every
-query has a DuckDB oracle (the md5-slice hashing trick makes simhash /
-winnow / minhash reproducible; full-probe equivalence and a measured
-recall-1.0 probe ball make the pruned ANN paths brute-force-checkable).
+ann_lsh_topk, ann_ivf_topk, cosine_neardup, cosine_neardup_lsh,
+pii_redact, line_dedup, sequence_pack, bigram_lm, warc_roundtrip,
+host_rank (fixed-point PageRank, unrolled-CTE oracle), dedup_clusters
+(connected components, recursive-CTE oracle), decontaminate (broadcast
+benchmark-shingle scrub), snapshot_diff (recrawl differencing),
+cdx_index (SURT archive key) — every query has a DuckDB oracle (the
+md5-slice hashing trick makes simhash / winnow / minhash reproducible;
+full-probe equivalence and a measured recall-1.0 probe ball make the
+pruned ANN paths brute-force-checkable) except the two documented
+rows-only entries (winnow_counts_prod, knn_join_lsh).
 """
 
 from __future__ import annotations

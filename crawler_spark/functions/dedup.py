@@ -73,8 +73,14 @@ def _cached_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     return sh
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+def shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle); distinct by default.
+    ``distinct=False`` skips the (doc, shingle) dedup shuffle — for
+    consumers that filter the stream first (e.g. a broadcast-set probe)
+    and dedup the tiny survivor set instead."""
     toks = F.split(F.col(text_col), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -83,10 +89,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> 
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -461,14 +465,17 @@ def contaminated_docs(
 
     Scale shape: the benchmark shingle set is tiny (eval suites are
     MB-scale) and is broadcast, so the 100 TB corpus is streamed through
-    a map-side hash join — no corpus shuffle for the probe; the only
-    shuffle is the per-doc hit count with map-side combine.
+    a map-side hash join — the corpus shingle stream is NOT
+    pre-deduplicated (that would be a full (doc, shingle) shuffle);
+    instead the broadcast probe filters first and countDistinct dedups
+    only the matched survivor set, so the sole shuffle carries
+    contaminated shingles only.
     """
-    csh = shingles(corpus, id_col, text_col, n)
+    csh = shingles(corpus, id_col, text_col, n, distinct=False)
     bset = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
     return (
         csh.join(F.broadcast(bset), "shingle")
         .groupBy(F.col("doc").alias(id_col))
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.countDistinct("shingle").alias("n_hits"))
         .where(F.col("n_hits") >= min_hits)
     )
