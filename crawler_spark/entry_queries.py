@@ -526,6 +526,40 @@ def q_cdx_index(spark, sf_dir):
     )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Grouped EXACT quantiles (p50/p90/p99 of doc length per source)
+    via rank-pick — value at position ceil(q*n) of the sorted group, so
+    the result is an integer from the data, never an interpolated
+    float: bit-identical across engines and partitionings.  One window
+    shuffle on source."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars")
+    d = (
+        docs.select("source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("source")))
+    )
+
+    def pick(q):
+        k = F.floor((F.col("cnt") * q + 99) / 100)
+        return F.max(F.when(F.col("rn") == k, F.col("n_chars")))
+
+    return d.groupBy("source").agg(
+        pick(50).alias("p50"), pick(90).alias("p90"), pick(99).alias("p99")
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature data mixing (textops.sample_temperature): per-source
+    rates ∝ sqrt(n_s)/n_s at an overall 10% target — the mT5-style
+    rebalance an LLM pipeline applies before packing.  Deterministic:
+    one IEEE sqrt per source, integer micro-rates, md5-bucket keep
+    set."""
+    return textops.sample_temperature(
+        _docs(spark, sf_dir), target_frac_micro=100_000
+    ).select("doc_id", "source")
+
+
 def q_events_window_stream(spark, sf_dir):
     """Streaming-surface CORRECTNESS row (VERDICT r2 #8): tumbling
     5-minute windowed counts + cent-sums per event_type computed BY THE
@@ -857,6 +891,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
+    "length_quantiles": q_length_quantiles,
+    "mixture_sample": q_mixture_sample,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1353,6 +1389,38 @@ ORACLES = {
                substr(md5(text), 1, 16) as digest,
                cast(n_chars as bigint) as length
         from documents
+    """,
+    "length_quantiles": """
+        with d as (
+          select source, n_chars,
+                 row_number() over (partition by source order by n_chars) as rn,
+                 count(*) over (partition by source) as cnt
+          from documents
+        )
+        select source,
+               max(case when rn = floor((cnt*50 + 99)/100) then n_chars end) as p50,
+               max(case when rn = floor((cnt*90 + 99)/100) then n_chars end) as p90,
+               max(case when rn = floor((cnt*99 + 99)/100) then n_chars end) as p99
+        from d group by 1
+    """,
+    "mixture_sample": """
+        with c as (select source, count(*) as n_s from documents group by 1),
+        w as (
+          select source, n_s,
+                 cast(floor(sqrt(n_s) * 1000000) as bigint) as w_s
+          from c
+        ), t as (
+          select sum(n_s) as n_total, sum(w_s) as w_total from w
+        ), r as (
+          select source,
+                 cast(floor((100000 * t.n_total * w.w_s)
+                            / (t.w_total * w.n_s)) as bigint) as rate_micro
+          from w, t
+        )
+        select d.doc_id, d.source
+        from documents d join r using (source)
+        where cast(concat('0x', substr(md5('mix|' || cast(d.doc_id as varchar)), 1, 8))
+                   as bigint) % 1000000 < r.rate_micro
     """,
     "warc_roundtrip": """
         select doc_id,

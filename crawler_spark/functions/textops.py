@@ -225,6 +225,50 @@ def sample_stratified(
         F.lit(int(default_fraction * 1_000_000)),
     )
     return df.where(hash_bucket_micro(F.col(key_col), seed) < cut)
+
+
+def sample_temperature(
+    df: DataFrame,
+    target_frac_micro: int,
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-based data mixing (the mT5/multilingual rebalancing
+    shape, T=2): per-source sampling rates ∝ sqrt(count)/count, so
+    over-represented sources are down-weighted toward sqrt scaling
+    while the overall expected kept fraction is ``target_frac_micro``
+    (micro-units of the corpus).  All arithmetic is integer except one
+    IEEE-correctly-rounded sqrt per SOURCE (not per row), identical in
+    Spark and DuckDB, so the kept set is a pure deterministic function
+    of (key, seed) like :func:`sample_stratified`.
+
+    rate_s = target * N_total * floor(1e6*sqrt(n_s)) /
+             (sum_t floor(1e6*sqrt(n_t)) * n_s)     — floored to micro.
+
+    Scale shape: pass 1 is a per-source count (tiny agg), the rate
+    table is broadcast back, pass 2 is a scan-local hash-bucket filter
+    — no corpus shuffle at any point.
+    """
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("n_s"))
+    w = counts.withColumn(
+        "w_s", F.floor(F.sqrt(F.col("n_s")) * 1_000_000).cast("long")
+    )
+    tot = w.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w_s").alias("w_total")
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        strat_col,
+        F.floor(
+            (F.lit(target_frac_micro) * F.col("n_total") * F.col("w_s"))
+            / (F.col("w_total") * F.col("n_s"))
+        ).cast("long").alias("rate_micro"),
+    )
+    return (
+        df.join(F.broadcast(rates), strat_col)
+        .where(hash_bucket_micro(F.col(key_col), seed) < F.col("rate_micro"))
+        .drop("rate_micro")
+    )
 # ----------------------------------------------------------- repetition
 def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),

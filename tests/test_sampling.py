@@ -29,3 +29,22 @@ def test_sample_deterministic_and_sized(spark):
     # unknown stratum defaults to default_fraction (0 -> dropped)
     extra = docs.withColumn("source", F.lit("zzz"))
     assert textops.sample_stratified(extra, frac).count() == 0
+
+
+def test_sample_temperature_rebalances(spark):
+    # 9:1 skewed corpus: source 'big' 3600 docs, 'small' 400 docs.
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "big").otherwise("small").alias("source"),
+    )
+    kept = textops.sample_temperature(docs, target_frac_micro=200_000).collect()
+    kept2 = textops.sample_temperature(docs, target_frac_micro=200_000).collect()
+    assert {r.doc_id for r in kept} == {r.doc_id for r in kept2}  # deterministic
+    n_big = sum(1 for r in kept if r.source == "big")
+    n_small = sum(1 for r in kept if r.source == "small")
+    # overall expected fraction ~= 20%
+    assert abs(len(kept) / 4000 - 0.2) < 0.03
+    # sqrt temperature: per-doc keep rate of the small source must exceed
+    # the big source's by ~sqrt(9) = 3x
+    ratio = (n_small / 400) / (n_big / 3600)
+    assert 2.0 < ratio < 4.5
