@@ -560,6 +560,48 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_recrawl_priority(spark, sf_dir):
+    """Change-rate recrawl scheduling (snapshots.recrawl_priority): an
+    8-epoch observation history is synthesized deterministically (url's
+    change probability = (doc_id % 10) * 10%, md5-bucket draw per
+    epoch), then the integer Cho&Garcia-Molina-shape estimator turns it
+    into a revisit interval and an overdue score.  All floor-division
+    fixed point — DuckDB replays the identical history and estimator."""
+    from .functions import snapshots
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    hist = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.col("source").alias("host"),
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("epoch"),
+    )
+    bucket = textops.hash_bucket_micro(
+        F.concat(
+            F.col("url_id").cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        ),
+        seed="recrawl",
+    )
+    hist = hist.withColumn(
+        "changed",
+        (bucket < (F.col("url_id") % 10) * 100_000).cast("int"),
+    )
+    return snapshots.recrawl_priority(hist, now_epoch=12).withColumnRenamed(
+        "interval", "revisit_interval"
+    )
+
+
+def q_host_reputation(spark, sf_dir):
+    """Per-host reputation rollup (hoststats.host_reputation): dup
+    fraction, language mix, and mean size per host — the data-derived
+    frontier-priority input.  Exact distinct-fingerprint count so the
+    oracle can check it; micro-unit ratios keep every column integral."""
+    from .functions import hoststats
+
+    return hoststats.host_reputation(_docs(spark, sf_dir))
+
+
 def q_events_window_stream(spark, sf_dir):
     """Streaming-surface CORRECTNESS row (VERDICT r2 #8): tumbling
     5-minute windowed counts + cent-sums per event_type computed BY THE
@@ -893,6 +935,8 @@ QUERIES = {
     "cdx_index": q_cdx_index,
     "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
+    "recrawl_priority": q_recrawl_priority,
+    "host_reputation": q_host_reputation,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1421,6 +1465,59 @@ ORACLES = {
         from documents d join r using (source)
         where cast(concat('0x', substr(md5('mix|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < r.rate_micro
+    """,
+    "recrawl_priority": """
+        with h as (
+          select d.doc_id as url_id, d.source as host, e.epoch,
+                 case when cast(concat('0x', substr(md5(
+                          'recrawl|' || cast(d.doc_id as varchar) || ':'
+                          || cast(e.epoch as varchar)), 1, 8)) as bigint)
+                      % 1000000 < (d.doc_id % 10) * 100000
+                      then 1 else 0 end as changed
+          from documents d
+          cross join (select unnest(generate_series(1, 8)) as epoch) e
+        ), a as (
+          select url_id, host,
+                 count(*) as n_obs, sum(changed) as n_changes,
+                 max(epoch) as last_epoch
+          from h group by 1, 2
+        ), i as (
+          select *,
+                 least(greatest(
+                     floor(16 * (n_obs + 1) / (n_changes + 1)), 1), 64)
+                   as iv
+          from a
+        )
+        select url_id, host,
+               cast(n_obs as bigint) as n_obs,
+               cast(n_changes as bigint) as n_changes,
+               cast(iv as bigint) as revisit_interval,
+               cast(floor((12 - last_epoch) * 1000000 / iv) as bigint)
+                 as overdue_micro
+        from i
+    """,
+    "host_reputation": rf"""
+        with per_doc as (
+          select source as host,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp,
+                 cast(len(string_split_regex(text, '\s+')) as bigint) as n_tok,
+                 case when len(string_split_regex(text, '\s+')) > 0 and
+                      floor(len(regexp_extract_all(lower(text), '{_STOP_RE}', 1))
+                            * 1000000.0
+                            / len(string_split_regex(text, '\s+'))) >= 30000
+                      then 1 else 0 end as is_en
+          from documents
+        )
+        select host,
+               cast(count(*) as bigint) as n_docs,
+               cast(count(distinct fp) as bigint) as n_unique_fp,
+               cast(floor((count(*) - count(distinct fp)) * 1000000.0
+                          / count(*)) as bigint) as dup_micro,
+               cast(floor(sum(is_en) * 1000000.0 / count(*)) as bigint)
+                 as en_micro,
+               cast(floor(sum(n_tok) * 1.0 / count(*)) as bigint)
+                 as avg_tokens
+        from per_doc group by 1
     """,
     "warc_roundtrip": """
         select doc_id,
