@@ -460,6 +460,31 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_cluster_keep_best(spark, sf_dir):
+    """Near-dup curation end-game (graph.keep_best): same planted
+    5-component pair graph as dedup_clusters, but now each component
+    elects ONE representative — max n_chars, ties to min doc_id — and
+    every doc comes back labeled (component, kept).  Oracle = recursive
+    CTE components + a window pick, so both the iterative clustering
+    AND the deterministic winner election are value-checked."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir)
+    ids = d.select("doc_id")
+    stars = ids.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") % 40).alias("b")
+    )
+    chains = ids.filter((F.col("doc_id") >= 5) & (F.col("doc_id") <= 39)).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") - 5).alias("b")
+    )
+    scores = d.select("doc_id", F.col("n_chars").alias("score"))
+    return graph.keep_best(stars.union(chains), scores).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "kept",
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Train-test decontamination (dedup.contaminated_docs): docs with
     doc_id % 97 == 0 play the benchmark/eval set; every other doc
@@ -937,6 +962,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "recrawl_priority": q_recrawl_priority,
     "host_reputation": q_host_reputation,
+    "cluster_keep_best": q_cluster_keep_best,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1465,6 +1491,38 @@ ORACLES = {
         from documents d join r using (source)
         where cast(concat('0x', substr(md5('mix|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < r.rate_micro
+    """,
+    "cluster_keep_best": """
+        with recursive ed as (
+          select doc_id as a, doc_id % 40 as b from documents
+          union
+          select doc_id, doc_id - 5 from documents
+          where doc_id between 5 and 39
+        ), edges as (
+          select a as src, b as dst from ed
+          union
+          select b, a from ed
+        ), reach(node, lab) as (
+          select src, src from edges
+          union
+          select e.src, r.lab
+          from edges e join reach r on r.node = e.dst
+        ), comp as (
+          select node, min(lab) as component from reach group by 1
+        ), labeled as (
+          select d.doc_id, coalesce(c.component, d.doc_id) as component,
+                 d.n_chars
+          from documents d left join comp c on c.node = d.doc_id
+        ), win as (
+          select doc_id, component,
+                 row_number() over (partition by component
+                                    order by n_chars desc, doc_id asc) as rn
+          from labeled
+        )
+        select cast(doc_id as bigint) as doc_id,
+               cast(component as bigint) as component,
+               rn = 1 as kept
+        from win
     """,
     "recrawl_priority": """
         with h as (

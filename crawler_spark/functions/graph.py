@@ -157,3 +157,50 @@ def connected_components(
         f"connected_components did not converge in {max_iterations} sweeps "
         "(diameter too large — switch to the large-star/small-star variant)"
     )
+
+
+def keep_best(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The curation step AFTER near-dup pair emission (minhash/simhash/
+    cosine): collapse the pair graph into components and keep exactly
+    one representative per component — the highest ``score_col``, ties
+    broken to the smallest id, so the winner is deterministic across
+    engines and partitionings.  Docs appearing in no pair are their own
+    singleton component and always kept.  Returns every input doc as
+    ``(id, component, kept)`` so downstream can either filter
+    ``kept`` or audit what was dropped.
+
+    Scale shape: components from :func:`connected_components` (O(log
+    diameter) sweeps), then the per-component winner is ONE map-side-
+    combined max(struct(score, -id)) aggregation — no per-group window
+    sort, so a pathological giant component (template boilerplate
+    clustering half the corpus) costs a partial-agg merge, not a
+    single-partition sort.  The winner table (one row per component) is
+    joined back on component; AQE broadcasts it when small.
+    """
+    cc = connected_components(pairs, max_iterations)
+    labeled = (
+        scores.join(cc, scores[id_col] == cc.node, "left")
+        .select(
+            scores[id_col].cast("long").alias("id"),
+            F.coalesce(F.col("component"), scores[id_col].cast("long"))
+            .alias("component"),
+            F.col(score_col).alias("s"),
+        )
+    )
+    best = labeled.groupBy("component").agg(
+        F.max(F.struct(F.col("s"), (-F.col("id")).alias("negid"))).alias("w")
+    )
+    return (
+        labeled.join(best, "component")
+        .select(
+            F.col("id").alias(id_col),
+            "component",
+            (F.col("id") == -F.col("w.negid")).alias("kept"),
+        )
+    )

@@ -73,3 +73,19 @@ def test_connected_components_iteration_cap_raises(spark):
     df = spark.createDataFrame(chain, ["a", "b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components(df, max_iterations=2)
+
+
+def test_keep_best_elects_one_per_component(spark):
+    # components {1,2,3} and {10,11}; 20 is a singleton (no pairs).
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4), (20, 1)],
+        "doc_id long, score long",
+    )
+    out = {r.doc_id: r for r in graph.keep_best(pairs, scores).collect()}
+    assert len(out) == 6
+    # winner = max score, tie -> min id: component {1,2,3} -> 2 (9 ties 3, min id)
+    assert out[2].kept and not out[1].kept and not out[3].kept
+    assert out[10].kept and not out[11].kept  # tie 4,4 -> min id 10
+    assert out[20].kept and out[20].component == 20  # singleton self-component
+    assert out[1].component == out[2].component == out[3].component == 1
