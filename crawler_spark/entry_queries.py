@@ -485,6 +485,29 @@ def q_cluster_keep_best(spark, sf_dir):
     )
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation (anchors.anchor_pairs/summary): each doc
+    emits two links with known targets/texts (deterministic doc_id
+    arithmetic baked into synthesized html), the regex chain extracts
+    them back out, and the rollup elects each target's top anchor.
+    Oracle rebuilds the pairs closed-form from the same arithmetic — it
+    never runs the regex, so extraction + zip + election are all
+    value-checked against an independent expectation."""
+    from .functions import anchors
+
+    pages = _docs(spark, sf_dir).select(
+        F.format_string(
+            '<html><body><p><a class="x" href="/d/%d">%s</a></p>'
+            ' filler <a href="/d/%d">ref %d</a></body></html>',
+            (F.col("doc_id") % 97).cast("int"),
+            F.col("source"),
+            ((F.col("doc_id") * 7 + 1) % 97).cast("int"),
+            (F.col("doc_id") % 5).cast("int"),
+        ).alias("html")
+    )
+    return anchors.anchor_summary(anchors.anchor_pairs(pages))
+
+
 def q_decontaminate(spark, sf_dir):
     """Train-test decontamination (dedup.contaminated_docs): docs with
     doc_id % 97 == 0 play the benchmark/eval set; every other doc
@@ -963,6 +986,7 @@ QUERIES = {
     "recrawl_priority": q_recrawl_priority,
     "host_reputation": q_host_reputation,
     "cluster_keep_best": q_cluster_keep_best,
+    "anchor_text": q_anchor_text,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1491,6 +1515,32 @@ ORACLES = {
         from documents d join r using (source)
         where cast(concat('0x', substr(md5('mix|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < r.rate_micro
+    """,
+    "anchor_text": """
+        -- closed-form: rebuild the link pairs from the same doc_id
+        -- arithmetic the Spark side baked into the html, skipping the
+        -- regex entirely.
+        with pairs as (
+          select '/d/' || cast(doc_id % 97 as varchar) as target,
+                 source as anchor
+          from documents
+          union all
+          select '/d/' || cast((doc_id * 7 + 1) % 97 as varchar),
+                 'ref ' || cast(doc_id % 5 as varchar)
+          from documents
+        ), g as (
+          select target, anchor, count(*) as cnt
+          from pairs group by 1, 2
+        ), win as (
+          select target, anchor, cnt,
+                 row_number() over (partition by target
+                                    order by cnt desc, anchor asc) as rn,
+                 sum(cnt) over (partition by target) as n_refs
+          from g
+        )
+        select target, cast(n_refs as bigint) as n_refs,
+               anchor as top_anchor
+        from win where rn = 1
     """,
     "cluster_keep_best": """
         with recursive ed as (
