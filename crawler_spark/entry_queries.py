@@ -608,6 +608,30 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_dedup_exact_stream(spark, sf_dir):
+    """Stateful-streaming CORRECTNESS row: exact dedup BY THE STREAMING
+    PATH — file-source readStream over the documents snapshot (one
+    micro-batch per file via maxFilesPerTrigger) -> scan-local
+    fingerprint -> applyInPandasWithState presence state ->
+    Trigger.AvailableNow memory sink.  Survivor set == the batch
+    keep-min-id kernel (file order is id order), so the DuckDB oracle
+    is a plain min(doc_id)-per-fingerprint."""
+    from .streaming import dedup_stream, run_to_memory
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+        .select("doc_id", textops.fingerprint_md5(F.col("text")).alias("fp"))
+    )
+    name = "dedup_exact_stream_sink"
+    spark.catalog.dropTempView(name)  # stale sink from a previous run
+    out = run_to_memory(dedup_stream(stream), name, mode="update")
+    return out.select("fp", F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Change-rate recrawl scheduling (snapshots.recrawl_priority): an
     8-epoch observation history is synthesized deterministically (url's
@@ -987,6 +1011,7 @@ QUERIES = {
     "host_reputation": q_host_reputation,
     "cluster_keep_best": q_cluster_keep_best,
     "anchor_text": q_anchor_text,
+    "dedup_exact_stream": q_dedup_exact_stream,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1515,6 +1540,12 @@ ORACLES = {
         from documents d join r using (source)
         where cast(concat('0x', substr(md5('mix|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < r.rate_micro
+    """,
+    "dedup_exact_stream": r"""
+        select md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp,
+               cast(min(doc_id) as bigint) as doc_id
+        from documents
+        group by 1
     """,
     "anchor_text": """
         -- closed-form: rebuild the link pairs from the same doc_id

@@ -140,6 +140,45 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    docs_stream: DataFrame, id_col: str = "doc_id", fp_col: str = "fp",
+) -> DataFrame:
+    """Streaming exact dedup — the incremental twin of
+    functions/dedup.dedup_exact: a document passes iff its fingerprint
+    has not been seen in any earlier micro-batch (per-fp presence
+    state); within one batch the smallest id wins.  When batches arrive
+    id-ordered (the file source discovers snapshot files in path order),
+    keep-first-across-batches == the batch kernel's keep-min-id — the
+    equivalence tests assert set equality of survivors.
+
+    Production notes: presence state grows with the distinct-fp count;
+    a perpetual deployment bounds it the same way the batch engine
+    does — the bloom/cuckoo seen-filter stage in front (crawler_spark/
+    seen.py) keeps the exact state to the maybe-new minority — or
+    evicts via event-time timeout where re-emission after N days is
+    acceptable.  Input must already carry ``fp_col`` (scan-local
+    fingerprint_md5) so the shuffle key is the hash, never the text."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{fp_col} string, {id_col} long"
+    state_schema = "seen boolean"
+
+    def fn(key, pdfs, state: GroupState):
+        mn = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                mn = m if mn is None or m < mn else mn
+        if mn is not None and not state.exists:
+            state.update((True,))
+            yield pd.DataFrame({fp_col: [key[0]], id_col: [mn]})
+
+    return docs_stream.groupBy(fp_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, timeout_sec: float = 120.0,
     mode: str | None = None,

@@ -53,3 +53,40 @@ def test_windowed_items_equal_batch_agg(spark, tmp_path):
         .groupBy("task", "rule").agg(F.count("*").alias("cnt")).collect()
     }
     assert got == want
+
+
+def test_dedup_stream_equals_batch_kernel(spark, tmp_path):
+    # 40 docs across 4 id-ordered files, duplicate texts planted across
+    # file boundaries (doc i and i+13 share text for i % 7 == 0), plus
+    # checkpointed stream state must dedup ACROSS micro-batches.
+    from crawler_spark.functions import dedup, textops
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 13 % 7 == 0, F.format_string("dup text %d", (F.col("id") % 13).cast("int")))
+        .otherwise(F.format_string("unique text %d", F.col("id").cast("int")))
+        .alias("text"),
+    )
+    src = str(tmp_path / "docs_stream")
+    for lo in range(0, 40, 10):  # 4 files, id-ordered by file name
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)) \
+            .coalesce(1).write.parquet(f"{src}/part{lo:02d}")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("fp", textops.fingerprint_md5(F.col("text")))
+    )
+    got = {
+        (r.fp, r.doc_id)
+        for r in streaming.run_to_memory(
+            streaming.dedup_stream(stream), "t_dedup_stream", mode="update"
+        ).collect()
+    }
+    batch = dedup.dedup_exact(docs, "doc_id")
+    want = {(r.fp, r.doc_id) for r in batch.filter(~F.col("is_dup")).collect()}
+    assert got == want
+    # sanity: the corpus really has cross-batch duplicates
+    assert len(want) < 40
