@@ -508,6 +508,24 @@ def q_anchor_text(spark, sf_dir):
     return anchors.anchor_summary(anchors.anchor_pairs(pages))
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain canonicalization (graph.resolve_redirects): url u
+    redirects to u-1 unless u % 8 == 0 (terminals), so every chain's
+    true fixed point is closed-form u - u%8 — the oracle computes THAT
+    arithmetic, never walking the chain, while the Spark side must
+    actually follow pointers (doubling, 3 sweeps for length-7 chains).
+    """
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    edges = d.filter(F.col("doc_id") % 8 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    return graph.resolve_redirects(edges).select(
+        "src", F.col("final").cast("long").alias("final"), "is_cycle"
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Train-test decontamination (dedup.contaminated_docs): docs with
     doc_id % 97 == 0 play the benchmark/eval set; every other doc
@@ -1012,6 +1030,7 @@ QUERIES = {
     "cluster_keep_best": q_cluster_keep_best,
     "anchor_text": q_anchor_text,
     "dedup_exact_stream": q_dedup_exact_stream,
+    "redirect_resolve": q_redirect_resolve,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1540,6 +1559,13 @@ ORACLES = {
         from documents d join r using (source)
         where cast(concat('0x', substr(md5('mix|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < r.rate_micro
+    """,
+    "redirect_resolve": """
+        select doc_id as src,
+               cast(doc_id - (doc_id % 8) as bigint) as final,
+               false as is_cycle
+        from documents
+        where doc_id % 8 != 0
     """,
     "dedup_exact_stream": r"""
         select md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp,

@@ -204,3 +204,47 @@ def keep_best(
             (F.col("id") == -F.col("w.negid")).alias("kept"),
         )
     )
+
+
+def resolve_redirects(edges: DataFrame, max_sweeps: int = 8) -> DataFrame:
+    """Resolve HTTP redirect chains to their terminal url: ``edges
+    (src, dst)`` holds one redirect hop per row (functional on src —
+    a url redirects to at most one place; the crawl engine's fetch
+    stage emits exactly that).  Returns ``(src, final, is_cycle)`` for
+    every redirecting url: ``final`` is the fixed point reached by
+    following hops, null for members of a redirect cycle
+    (``is_cycle`` true) — the canonicalization a frontier applies
+    before the seen-check so a chain's aliases collapse to one
+    frontier row.
+
+    POINTER DOUBLING, not hop-at-a-time: each sweep composes the
+    mapping with itself (f -> f∘f), so a length-H chain resolves in
+    ceil(log2 H) self-joins — max_sweeps=8 covers chains of 256 hops,
+    far past the 5-10 real fetchers tolerate.  Scale shape per sweep:
+    one self-join on the url key (shuffle) + one left-semi count for
+    convergence on materialized (localCheckpoint) partitions; the same
+    doubling discipline as connected_components above.
+    """
+    ptr = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("cur"),
+    ).localCheckpoint(eager=True)
+    srcs = ptr.select(F.col("src").alias("k")).distinct().localCheckpoint(eager=True)
+    for _ in range(max_sweeps):
+        m = ptr.select(F.col("src").alias("m_src"), F.col("cur").alias("m_cur"))
+        ptr = (
+            ptr.join(m, ptr.cur == m.m_src, "left")
+            .select("src", F.coalesce("m_cur", "cur").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        pending = ptr.join(srcs, ptr.cur == srcs.k, "left_semi").count()
+        if pending == 0:
+            break
+    still = ptr.join(srcs, ptr.cur == srcs.k, "left_semi").select(
+        F.col("src").alias("cyc_src")
+    )
+    return ptr.join(still, ptr.src == still.cyc_src, "left").select(
+        "src",
+        F.when(F.col("cyc_src").isNull(), F.col("cur")).alias("final"),
+        F.col("cyc_src").isNotNull().alias("is_cycle"),
+    )

@@ -89,3 +89,27 @@ def test_keep_best_elects_one_per_component(spark):
     assert out[10].kept and not out[11].kept  # tie 4,4 -> min id 10
     assert out[20].kept and out[20].component == 20  # singleton self-component
     assert out[1].component == out[2].component == out[3].component == 1
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    # chain 5->4->3 (3 terminal), chain 9->8 (8 terminal),
+    # cycle 20->21->22->20.
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (9, 8), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    out = {r.src: r for r in graph.resolve_redirects(edges).collect()}
+    assert out[5].final == 3 and not out[5].is_cycle
+    assert out[4].final == 3
+    assert out[9].final == 8
+    for u in (20, 21, 22):
+        assert out[u].is_cycle and out[u].final is None
+
+
+def test_resolve_redirects_long_chain_doubles(spark):
+    # a 100-hop chain resolves within 8 doubling sweeps (2^8 >= 100)
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 101)], "src long, dst long"
+    )
+    out = graph.resolve_redirects(edges).collect()
+    assert all(r.final == 0 and not r.is_cycle for r in out)
