@@ -526,6 +526,30 @@ def q_redirect_resolve(spark, sf_dir):
     )
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap seed ingestion (sitemaps.parse_sitemap): each doc
+    synthesizes a 2-entry sitemap — entry 1 carries lastmod + priority,
+    entry 2 omits both (spec-optional), so per-block field pairing is
+    exercised (positional zipping would smear entry 1's fields onto
+    entry 2).  Oracle rebuilds the rows closed-form, never parsing."""
+    from .functions import sitemaps
+
+    pages = _docs(spark, sf_dir).select(
+        F.format_string(
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc> /s/%d </loc><lastmod>2026-01-%02d</lastmod>"
+            "<priority>0.%d</priority></url>"
+            "<url><loc>/s/%d</loc></url>"
+            "</urlset>",
+            F.col("doc_id").cast("int"),
+            (F.col("doc_id") % 28 + 1).cast("int"),
+            (F.col("doc_id") % 10).cast("int"),
+            (F.col("doc_id") + 5000000).cast("int"),
+        ).alias("xml")
+    )
+    return sitemaps.parse_sitemap(pages)
+
+
 def q_decontaminate(spark, sf_dir):
     """Train-test decontamination (dedup.contaminated_docs): docs with
     doc_id % 97 == 0 play the benchmark/eval set; every other doc
@@ -1031,6 +1055,7 @@ QUERIES = {
     "anchor_text": q_anchor_text,
     "dedup_exact_stream": q_dedup_exact_stream,
     "redirect_resolve": q_redirect_resolve,
+    "sitemap_parse": q_sitemap_parse,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1559,6 +1584,19 @@ ORACLES = {
         from documents d join r using (source)
         where cast(concat('0x', substr(md5('mix|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < r.rate_micro
+    """,
+    "sitemap_parse": """
+        -- closed-form rebuild of both entries per doc; the parser's
+        -- trim and default-priority behavior is part of the contract.
+        select '/s/' || cast(doc_id as varchar) as url,
+               '2026-01-' || lpad(cast(doc_id % 28 + 1 as varchar), 2, '0')
+                 as lastmod,
+               cast((doc_id % 10) * 100000 as bigint) as priority_micro
+        from documents
+        union all
+        select '/s/' || cast(doc_id + 5000000 as varchar),
+               '', cast(500000 as bigint)
+        from documents
     """,
     "redirect_resolve": """
         select doc_id as src,
