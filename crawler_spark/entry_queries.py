@@ -550,6 +550,31 @@ def q_sitemap_parse(spark, sf_dir):
     return sitemaps.parse_sitemap(pages)
 
 
+def q_trap_detect(spark, sf_dir):
+    """Crawl-trap stats (traps.trap_scores): a third of each host's
+    urls are calendar-shaped (collapse to one '/cal/#/#' template),
+    the rest unique '/about#' shapes plus a query-string suffix the
+    templater must strip.  Oracle applies the same digit-collapse in
+    SQL and recomputes the rollup."""
+    from .functions import traps
+
+    urls = _docs(spark, sf_dir).select(
+        F.col("source").alias("host"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string(
+                "/CAL/%d/%d?sid=%d",
+                (F.col("doc_id") % 12).cast("int"),
+                (F.col("doc_id") % 31).cast("int"),
+                F.col("doc_id").cast("int"),
+            ),
+        ).otherwise(
+            F.format_string("/about%d", F.col("doc_id").cast("int"))
+        ).alias("url"),
+    )
+    return traps.trap_scores(urls)
+
+
 def q_decontaminate(spark, sf_dir):
     """Train-test decontamination (dedup.contaminated_docs): docs with
     doc_id % 97 == 0 play the benchmark/eval set; every other doc
@@ -1056,6 +1081,7 @@ QUERIES = {
     "dedup_exact_stream": q_dedup_exact_stream,
     "redirect_resolve": q_redirect_resolve,
     "sitemap_parse": q_sitemap_parse,
+    "trap_detect": q_trap_detect,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1584,6 +1610,41 @@ ORACLES = {
         from documents d join r using (source)
         where cast(concat('0x', substr(md5('mix|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < r.rate_micro
+    """,
+    "trap_detect": """
+        with u as (
+          select source as host,
+                 case when doc_id % 3 = 0
+                      then '/CAL/' || cast(doc_id % 12 as varchar) || '/'
+                           || cast(doc_id % 31 as varchar)
+                           || '?sid=' || cast(doc_id as varchar)
+                      else '/about' || cast(doc_id as varchar) end as url
+          from documents
+        ), t as (
+          select host,
+                 regexp_replace(
+                   regexp_replace(lower(url), '[?#].*$', ''),
+                   '[0-9]+', '#', 'g') as tmpl
+          from u
+        ), g as (
+          select host, tmpl, count(*) as cnt from t group by 1, 2
+        ), win as (
+          select host, tmpl, cnt,
+                 row_number() over (partition by host
+                                    order by cnt desc, tmpl asc) as rn,
+                 sum(cnt) over (partition by host) as n_urls,
+                 count(*) over (partition by host) as n_templates
+          from g
+        )
+        select host,
+               cast(n_urls as bigint) as n_urls,
+               cast(n_templates as bigint) as n_templates,
+               cast(floor(n_urls * 1000000.0 / n_templates) as bigint)
+                 as urls_per_template_micro,
+               tmpl as top_template,
+               cast(floor(cnt * 1000000.0 / n_urls) as bigint)
+                 as top_share_micro
+        from win where rn = 1
     """,
     "sitemap_parse": """
         -- closed-form rebuild of both entries per doc; the parser's
