@@ -824,6 +824,23 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_md5_near_pairs(_docs(spark, sf_dir), "doc_id", max_hamming=8)
 
 
+def q_dup_substrings(spark, sf_dir):
+    """Verbatim-overlap pair mining (dedup.dup_substring_pairs): docs
+    sharing >=5 distinct winnow-selected 20-gram fingerprints — the
+    Lee-et-al-2021 exact-substring dedup shape, approximated by the
+    winnowing (k,w) guarantee instead of a global suffix sort.  k=20 on
+    this small-vocab corpus so a fingerprint witnesses a real >=23-char
+    verbatim overlap; max_df=200 stop-fingerprint cap active (same
+    subquadratic discipline as ngram_jaccard)."""
+    return dedup.dup_substring_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        k=20, w=4, min_shared=5, max_df=200,
+    ).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
+        F.col("n_shared").cast("long"),
+    )
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing counts, ORACLE TWIN: pure DataFrame ops with md5-slice
     hashes so the DuckDB window-function oracle reproduces every pick.
@@ -1082,6 +1099,7 @@ QUERIES = {
     "redirect_resolve": q_redirect_resolve,
     "sitemap_parse": q_sitemap_parse,
     "trap_detect": q_trap_detect,
+    "dup_substrings": q_dup_substrings,
     "bigram_lm": q_bigram_lm,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
@@ -1270,6 +1288,48 @@ cnt as (
 )
 select d.doc_id, cast(coalesce(c.n_fp, 0) as bigint) as n_fp
 from documents d left join cnt c on c.doc = d.doc_id
+"""
+
+
+def _dup_substrings_oracle(
+    k: int = 20, w: int = 4, min_shared: int = 5, max_df: int = 200
+) -> str:
+    """DuckDB twin of dedup.dup_substring_pairs: the _winnow_oracle
+    selection core, then distinct picked VALUES per doc, stop-fp cap,
+    inverted-index self-join with a shared-count floor."""
+    return f"""
+with g as (
+  select doc_id as doc, i,
+         cast(concat('0x', substr(md5(substr(lower(text), i, {k})), 1, 8)) as bigint) as h
+  from (select doc_id, text, unnest(generate_series(1, length(text) - {k} + 1)) as i
+        from documents where length(text) >= {k})
+),
+wins as (
+  select doc, i,
+         min({{'h': h, 'p': i}}) over (
+           partition by doc order by i
+           rows between current row and {w - 1} following) as pick,
+         count(*) over (partition by doc) as nh
+  from g
+),
+sel as (
+  select doc, pick.p as j, pick.h as ph,
+         lag(pick.p) over (partition by doc order by i) as pj
+  from wins
+  where i <= greatest(nh - {w} + 1, 1)
+),
+picks as (
+  select distinct doc, ph as fp from sel where pj is null or j <> pj
+),
+capped as (
+  select doc, fp from picks
+  where fp in (select fp from picks group by fp having count(*) <= {max_df})
+)
+select cast(a.doc as bigint) as doc_a,
+       cast(b.doc as bigint) as doc_b,
+       cast(count(*) as bigint) as n_shared
+from capped a join capped b on a.fp = b.fp and a.doc < b.doc
+group by 1, 2 having count(*) >= {min_shared}
 """
 
 
@@ -2003,6 +2063,7 @@ ORACLES = {
     """,
     "simhash_pairs": _simhash_md5_oracle(max_hamming=8),
     "winnow_fingerprints": _winnow_oracle(k=5, w=4),
+    "dup_substrings": _dup_substrings_oracle(k=20, w=4, min_shared=5, max_df=200),
     "audio_resample": """
         -- payload closed-form in doc_id: sr = 8000 + (doc_id%5)*2000,
         -- ns = 1000 + doc_id%500; resample to 16 kHz rescales

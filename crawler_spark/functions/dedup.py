@@ -479,3 +479,60 @@ def contaminated_docs(
         .agg(F.countDistinct("shingle").alias("n_hits"))
         .where(F.col("n_hits") >= min_hits)
     )
+
+
+# ----------------------------------------------- shared-substring pairs
+def dup_substring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int | None = 1000,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Verbatim-overlap duplicate pairs via winnowing fingerprints — the
+    scalable approximation of exact duplicated-substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better": their suffix array finds exact repeated spans; winnowing's
+    (k, w) guarantee means any shared substring of length >= k+w-1
+    shares at least one SELECTED fingerprint, so long verbatim overlaps
+    always surface as candidates without a global suffix sort).
+
+    Returns ``(doc_a, doc_b, n_shared)``, doc_a < doc_b, where n_shared
+    counts DISTINCT shared selected fingerprints; pairs below
+    ``min_shared`` are dropped (one hash collision or one common phrase
+    is not an overlap).  ``max_df`` drops stop-fingerprints whose
+    posting list exceeds max_df docs — boilerplate shared by everyone
+    is a stop-phrase, not a dedup signal; same subquadratic discipline
+    (and the same contract-scale-exactness argument) as
+    dedup_ngram_jaccard's cap.
+
+    Scale shape: fingerprinting is per-doc parallel (winnow_picks_sql
+    here for the DuckDB-reproducible md5 slice; the linear Arrow kernel
+    textops.winnow_counts is the documented prod swap for the
+    fingerprint step), then ONE inverted-index self-join on fp with
+    map-side-combined pair counts — identical join displacement to the
+    minhash band join.
+    """
+    from .textops import winnow_picks_sql
+
+    picks = winnow_picks_sql(df, id_col, text_col, k, w, hash_kind)
+    if max_df is not None:
+        keep = picks.groupBy("fp").agg(F.count("*").alias("df_")).where(
+            F.col("df_") <= max_df
+        )
+        picks = picks.join(keep.select("fp"), "fp")
+    a = picks.alias("a")
+    b = picks.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

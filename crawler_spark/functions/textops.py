@@ -442,26 +442,15 @@ def winnow_counts(
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
-def winnow_counts_sql(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 5, w: int = 4, hash_kind: str = "md5",
+def _winnow_sel_sql(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int, w: int, hash_kind: str,
 ) -> DataFrame:
-    """Winnowing fingerprint COUNTS as pure DataFrame ops: explode k-gram
-    positions -> k-gram hash -> struct-min over a w-row window (leftmost
-    (hash, pos) argmin == the winnowing tie-break) -> drop consecutive
-    repeats via lag.  The per-doc window partitions by doc, so work is
-    embarrassingly parallel across docs.
-
-    ORACLE TWIN, not the production default: the position explode is one
-    row per character, ~100x amplification — use winnow_counts (linear
-    Arrow kernel) in pipelines.  hash_kind 'md5' (32-bit slice) is
-    DuckDB-bit-reproducible and feeds the contract gate; 'xxhash64' swaps
-    in the far cheaper JVM hash with the identical plan shape — the
-    middle ground when the windowed-SQL form itself is wanted at scale.
-
-    Returns (id_col, n_fp) with n_fp = 0 for texts shorter than k.
-    For 'md5', equivalent to len(winnow_fingerprints_py(text, k, w,
-    'md5')) — asserted in tests."""
+    """Shared windowed-SQL winnowing core: one row per window start with
+    the selected pick struct — columns (doc, i, j=pick position,
+    pj=previous pick position, ph=pick hash).  Consumers dedup
+    consecutive picks (j != pj) and take counts (winnow_counts_sql) or
+    distinct values (winnow_picks_sql)."""
     from pyspark.sql import Window
 
     t = F.lower(F.col(text_col))
@@ -484,13 +473,56 @@ def winnow_counts_sql(
     wwin = Window.partitionBy("doc").orderBy("i").rowsBetween(0, w - 1)
     wall = Window.partitionBy("doc")
     word = Window.partitionBy("doc").orderBy("i")
-    sel = (
+    return (
         g.withColumn("pick", F.min(F.struct("h", "i")).over(wwin))
         .withColumn("nh", F.count("*").over(wall))
         .where(F.col("i") <= F.greatest(F.col("nh") - w + 1, F.lit(1)))
         .withColumn("j", F.col("pick.i"))
+        .withColumn("ph", F.col("pick.h"))
         .withColumn("pj", F.lag("j").over(word))
     )
+
+
+def winnow_picks_sql(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 12, w: int = 4, hash_kind: str = "md5",
+) -> DataFrame:
+    """Distinct selected fingerprint VALUES per doc — ``(id_col, fp)``,
+    the inverted-index input for shared-substring pair mining
+    (dedup.dup_substring_pairs).  Same kernel and oracle-twin caveats
+    as winnow_counts_sql (row-per-character explode; md5 slice for
+    DuckDB reproducibility, xxhash64 for the plan-identical prod swap);
+    default k=12 so a fingerprint witnesses a >=k+w-1 = 15-char
+    verbatim overlap, not a common short word."""
+    sel = _winnow_sel_sql(df, id_col, text_col, k, w, hash_kind)
+    return (
+        sel.where(F.col("pj").isNull() | (F.col("j") != F.col("pj")))
+        .select(F.col("doc").alias(id_col), F.col("ph").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_counts_sql(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, w: int = 4, hash_kind: str = "md5",
+) -> DataFrame:
+    """Winnowing fingerprint COUNTS as pure DataFrame ops: explode k-gram
+    positions -> k-gram hash -> struct-min over a w-row window (leftmost
+    (hash, pos) argmin == the winnowing tie-break) -> drop consecutive
+    repeats via lag.  The per-doc window partitions by doc, so work is
+    embarrassingly parallel across docs.
+
+    ORACLE TWIN, not the production default: the position explode is one
+    row per character, ~100x amplification — use winnow_counts (linear
+    Arrow kernel) in pipelines.  hash_kind 'md5' (32-bit slice) is
+    DuckDB-bit-reproducible and feeds the contract gate; 'xxhash64' swaps
+    in the far cheaper JVM hash with the identical plan shape — the
+    middle ground when the windowed-SQL form itself is wanted at scale.
+
+    Returns (id_col, n_fp) with n_fp = 0 for texts shorter than k.
+    For 'md5', equivalent to len(winnow_fingerprints_py(text, k, w,
+    'md5')) — asserted in tests."""
+    sel = _winnow_sel_sql(df, id_col, text_col, k, w, hash_kind)
     counts = (
         sel.where(F.col("pj").isNull() | (F.col("j") != F.col("pj")))
         .groupBy("doc").agg(F.count("*").alias("n_fp"))

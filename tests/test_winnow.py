@@ -100,3 +100,22 @@ def test_winnow_hash_kinds_same_pick_structure():
         # exceed the number of windows
         n_hashes = len(t) - 5 + 1
         assert len(picks) <= max(1, n_hashes - 4 + 1)
+
+
+def test_dup_substring_pairs_guarantee_and_noise_floor(spark):
+    from crawler_spark.functions import dedup
+
+    shared = "the exact same long verbatim overlapping span of text"
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc " + shared + " dddd eeee"),
+            (2, shared + " ffff gggg hhhh iiii jjjj kkkk"),
+            (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dup_substring_pairs(docs, k=12, w=4, min_shared=2, max_df=100)
+    rows = out.collect()
+    # (k,w) guarantee: the 54-char shared span must surface the (1,2) pair
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    assert rows[0].n_shared >= 2
