@@ -381,6 +381,20 @@ def q_bigram_lm(spark, sf_dir):
     return textops.bigram_lm_scores(d)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-feature linear quality classifier
+    (textops.hashed_linear_score): the fastText/CCNet model-filter shape
+    — token -> md5 feature bucket -> weight -> floor-mean score, all in
+    higher-order functions (zero shuffle, one corpus pass).  The oracle
+    recomputes bucket/weight/score closed-form, so any divergence in
+    tokenization, hashing, or the negative-sum floor division
+    hash-fails.  threshold = the corpus median score (CCNet calibrates
+    the keep boundary to a reference-corpus percentile), so both keep
+    branches are populated."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return textops.hashed_linear_score(d, threshold_micro=-218)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source round-trip (sources/warc.py): the documents table is
     serialized into WARC/1.0 response records executor-side (one file
@@ -741,6 +755,38 @@ def q_host_reputation(spark, sf_dir):
     return hoststats.host_reputation(_docs(spark, sf_dir))
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist tagging (hoststats.tag_blocked): the
+    UT1/RefinedWeb blocklist stage.  Hosts are synthesized from doc_id
+    across four zones; the blocklist hits one zone apex, one
+    two-label suffix, and one exact full host, so the label-boundary
+    suffix semantics (subdomain matches, `notads.com` vs `ads.com`
+    does not) are all exercised.  Oracle states the match as
+    host = domain OR host LIKE '%.domain'."""
+    from .functions import hoststats
+
+    zone = F.element_at(
+        F.array(
+            F.lit(".ads.example.com"),
+            F.lit(".example.com"),
+            F.lit(".cdn.tracker.net"),
+            F.lit(".example.org"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 53).cast("string"), zone).alias(
+            "host"
+        ),
+    )
+    bl = spark.createDataFrame(
+        [("ads.example.com",), ("tracker.net",), ("h7.example.org",)],
+        "domain string",
+    )
+    return hoststats.tag_blocked(d, bl)
+
+
 def q_events_window_stream(spark, sf_dir):
     """Streaming-surface CORRECTNESS row (VERDICT r2 #8): tumbling
     5-minute windowed counts + cent-sums per event_type computed BY THE
@@ -945,6 +991,23 @@ def q_audio_resample(spark, sf_dir):
     )
 
 
+def q_image_dedup(spark, sf_dir):
+    """Perceptual image dedup (multimodal.dhash64): binary payload ->
+    mapInPandas dHash -> keep-min-doc_id per hash group.  The oracle
+    recomputes the 63 gradient bits closed-form from doc_id (the FIMG
+    pixel generator is a pure function of width/height), so it checks
+    the whole decode -> hash -> group chain bit-for-bit."""
+    from .functions import multimodal
+
+    hashed = multimodal.dhash64(_fake_media(spark, sf_dir))
+    w = Window.partitionBy("dhash")
+    return hashed.select(
+        "doc_id",
+        "dhash",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):  # queries-only (1->N binary expansion)
     from .functions import multimodal
 
@@ -1093,6 +1156,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "recrawl_priority": q_recrawl_priority,
     "host_reputation": q_host_reputation,
+    "blocklist_filter": q_blocklist_filter,
     "cluster_keep_best": q_cluster_keep_best,
     "anchor_text": q_anchor_text,
     "dedup_exact_stream": q_dedup_exact_stream,
@@ -1101,6 +1165,7 @@ QUERIES = {
     "trap_detect": q_trap_detect,
     "dup_substrings": q_dup_substrings,
     "bigram_lm": q_bigram_lm,
+    "quality_classifier": q_quality_classifier,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
     "corpus_clean": q_corpus_clean,
@@ -1118,6 +1183,7 @@ QUERIES = {
     "cosine_neardup": q_cosine_neardup,
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "multimodal_decode": q_multimodal_decode,
+    "image_dedup": q_image_dedup,
     "frame_sample": q_frame_sample,
     "audio_resample": q_audio_resample,
 }
@@ -1843,6 +1909,25 @@ ORACLES = {
                  as avg_tokens
         from per_doc group by 1
     """,
+    "blocklist_filter": """
+        with u as (
+          select doc_id,
+                 'h' || cast(doc_id % 53 as varchar) ||
+                 (case doc_id % 4 when 0 then '.ads.example.com'
+                                  when 1 then '.example.com'
+                                  when 2 then '.cdn.tracker.net'
+                                  else '.example.org' end) as host
+          from documents
+        ), bl as (
+          select * from (values ('ads.example.com'), ('tracker.net'),
+                                ('h7.example.org')) t(domain)
+        )
+        select u.doc_id, u.host,
+               exists (select 1 from bl
+                       where u.host = bl.domain
+                          or u.host like '%.' || bl.domain) as blocked
+        from u
+    """,
     "warc_roundtrip": """
         select doc_id,
                cast(200 as bigint) as http_status,
@@ -1896,6 +1981,33 @@ ORACLES = {
                  as lm_score_micro
         from big b join model m on b.w1 = m.w1 and b.w2 = m.w2
         group by b.doc_id
+    """,
+    "quality_classifier": r"""
+        with t as (
+          select doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> x <> '') as toks
+          from documents
+        ), s as (
+          select doc_id,
+                 cast(len(toks) as int) as n_toks,
+                 cast(coalesce(list_aggregate(list_transform(toks, tok ->
+                   (cast(concat('0x', substr(md5('q|' || cast(
+                        cast(concat('0x', substr(md5(tok), 1, 8)) as bigint)
+                          % 4096 as varchar)), 1, 8)) as bigint) % 2001)
+                   - 1000), 'sum'), 0) as bigint) as ssum
+          from t
+        )
+        select doc_id, n_toks,
+               case when n_toks > 0
+                    then cast((ssum - (((ssum % n_toks) + n_toks) % n_toks))
+                              / n_toks as bigint)
+                    else cast(0 as bigint) end as score_micro,
+               case when n_toks > 0
+                    then (ssum - (((ssum % n_toks) + n_toks) % n_toks))
+                         / n_toks > -218
+                    else 0 > -218 end as keep
+        from s
     """,
     "line_dedup": r"""
         with planted as (
@@ -2101,5 +2213,25 @@ ORACLES = {
                cast(16 + least(64, (32 + doc_id % 64) * (32 + doc_id % 48))
                     as bigint) as n_bytes
         from documents
+    """,
+    "image_dedup": """
+        with base as (
+          select doc_id,
+                 32 + doc_id % 64 as w,
+                 32 + doc_id % 48 as h
+          from documents
+        ), hs as (
+          select doc_id,
+                 printf('%016x', cast(list_aggregate(list_transform(
+                   range(0, 63), i ->
+                     case when (w * 31 + h * 17 + i) % 251
+                            < (w * 31 + h * 17 + i + 1) % 251
+                          then 1::bigint << (62 - i)
+                          else 0::bigint end), 'sum') as bigint)) as dhash
+          from base
+        )
+        select doc_id, dhash,
+               doc_id = min(doc_id) over (partition by dhash) as keep
+        from hs
     """,
 }

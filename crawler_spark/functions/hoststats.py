@@ -67,3 +67,61 @@ def host_reputation(
         F.floor(F.col("tok_sum") / F.col("n_docs"))
         .cast("long").alias("avg_tokens"),
     )
+
+
+def host_suffixes(host) -> "F.Column":
+    """All label-boundary suffixes of a hostname, longest first:
+    a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+    com].  Pure higher-order functions (split/sequence/slice/
+    array_join): scan-local, no UDF."""
+    host = F.col(host) if isinstance(host, str) else host
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def tag_blocked(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    out_col: str = "blocked",
+) -> DataFrame:
+    """Domain-blocklist tagging (the UT1/RefinedWeb blocklist stage): a
+    host is blocked iff it equals a blocklisted domain OR is a
+    subdomain of one (label-boundary suffix match, so `notads.com`
+    does NOT match `ads.com`).
+
+    Scale shape: the corpus is never shuffled.  Each row explodes into
+    its <=~6 host suffixes (scan-local), the suffixes hit the blocklist
+    by a BROADCAST hash join (UT1 category lists are MB-scale), and
+    only the matched id set — bounded by the block hit rate, typically
+    a few percent — is distinct-shuffled and broadcast back as the tag.
+    To DROP instead of tag (the usual pipeline use), anti-join the same
+    hit set; same cost.  If the hit set can exceed broadcast size
+    (adversarial corpus), fall back to groupBy(id) over the exploded
+    join output — one corpus shuffle, still correct.
+    """
+    sfx = df.select(
+        F.col(id_col).alias("__bid"),
+        F.explode(host_suffixes(host_col)).alias("__sfx"),
+    )
+    hits = (
+        sfx.join(
+            F.broadcast(blocklist.select(F.col("domain").alias("__sfx"))),
+            "__sfx",
+            "left_semi",
+        )
+        .select("__bid")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    out = df.join(
+        F.broadcast(hits), df[id_col] == hits["__bid"], "left"
+    ).drop("__bid")
+    return out.withColumn(out_col, F.coalesce(F.col("__hit"), F.lit(False))).drop(
+        "__hit"
+    )

@@ -216,3 +216,41 @@ def frame_sample_stub(df: DataFrame, every_n: int, bin_col: str = "payload",
             yield pd.DataFrame({id_col: ids, "frame_no": nos, "frame": frames})
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def dhash64(df: DataFrame, bin_col: str = "payload", out_col: str = "dhash") -> DataFrame:
+    """Difference-hash perceptual image fingerprint (the classic dHash:
+    bit_i = pixel_i < pixel_{i+1}, gradient direction per adjacent
+    pair), emitted as a 16-hex-char string so no engine has to carry an
+    unsigned 64-bit code through a signed long.  On the deterministic
+    FIMG stub the "pixels" are the 64 body bytes after the 16-byte
+    header (63 comparison bits, top bit 0); the production swap decodes
+    with PIL, grayscale-resizes to 9x8, and applies the same bit rule —
+    the UDF shape, Arrow batching, and output column are identical.
+    Integer comparisons only, so the hash is bit-exact across engines.
+    Image near-dup then reduces to the text machinery: exact dedup =
+    groupBy(dhash); near-dup = Hamming blocking exactly like simhash
+    (functions/dedup.py) on the same 64-bit code.  Scale: one corpus
+    pass, scan-local, no shuffle.
+    """
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for raw in pdf[bin_col]:
+                raw = bytes(raw) if raw is not None else b""
+                body = raw[16:16 + 64]
+                if raw[:4] != FAKE_MAGIC or len(body) < 64:
+                    hashes.append(None)
+                    continue
+                v = 0
+                for i in range(63):
+                    if body[i] < body[i + 1]:
+                        v |= 1 << (62 - i)
+                hashes.append(format(v, "016x"))
+            pdf = pdf.copy()
+            pdf[out_col] = hashes
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

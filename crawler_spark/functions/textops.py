@@ -649,3 +649,66 @@ def bigram_lm_scores(
         )
         .withColumnRenamed("__doc", id_col)
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: str = "q",
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Hashed-feature linear quality classifier — the fastText/CCNet
+    model-filter shape (CCNet trains a fastText linear model over
+    hashed token features and keeps documents the model scores as
+    "Wikipedia-like"; same stage in the LLaMA data pipeline).  The
+    reference has no model filtering (its quality gate is the byte-length
+    cut at engine/crawler.go:113); this is the training-corpus upgrade.
+
+    score(doc) = floor-mean over tokens of w[bucket(token)], micro-units.
+
+    Engine shape (what matters at 100 TB): the whole score is computed
+    with higher-order functions on the token array — ``transform``
+    (token -> bucket -> weight) then ``aggregate`` (sum) — so it is
+    scan-local and needs ZERO shuffle: one corpus pass at any scale,
+    inside whole-stage codegen.  The weights here are a deterministic
+    closed-form function of the bucket id (md5-derived, range
+    [-1000, 1000] micro) so DuckDB reproduces exact scores; the
+    production swap is a broadcast ``weights(bucket, w_micro)`` model
+    table map-side-joined after a posexplode — same bucket convention,
+    still no corpus shuffle.  Floor division is spelled
+    ``(s - pmod(s, n)) / n`` so both engines floor identically for
+    negative sums.  ``threshold_micro`` is the keep decision boundary —
+    CCNet calibrates it to a score percentile of the reference corpus,
+    so it is a parameter, not a constant.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+
+    def weight(tok: Column) -> Column:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+        w = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), bucket.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(w, F.lit(2001)) - F.lit(1000)
+
+    ssum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
+    )
+    n = F.size(toks).cast("long")
+    mean = F.when(
+        n > 0, ((ssum - F.pmod(ssum, n)) / n).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_toks"),
+        mean.alias("score_micro"),
+        (mean > F.lit(threshold_micro)).alias("keep"),
+    )

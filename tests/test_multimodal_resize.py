@@ -37,3 +37,37 @@ def test_resize_stub_rewrites_header_and_keeps_body(spark):
     assert (meta[0].width, meta[0].height, meta[0].channels) == (32, 24, 3)
     assert meta[1].channels == 1
     assert meta[2].codec == "unknown"
+
+
+def test_dhash64_bits_and_null_safety(spark):
+    import crawler_spark.functions.multimodal as mm
+
+    rows = [
+        (0, mm.fake_image(40, 40)),
+        (1, mm.fake_image(40, 40)),   # identical image -> identical hash
+        (2, mm.fake_image(41, 40)),   # different image -> (here) different hash
+        (3, b"not-an-image"),
+        (4, None),
+        (5, mm.fake_image(40, 40)[:30]),  # truncated body -> None
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.dhash for r in mm.dhash64(df).collect()}
+
+    # pure-python recompute of the bit rule on the stub pixels
+    def py_hash(raw: bytes):
+        body = raw[16:80]
+        if raw[:4] != mm.FAKE_MAGIC or len(body) < 64:
+            return None
+        v = 0
+        for i in range(63):
+            if body[i] < body[i + 1]:
+                v |= 1 << (62 - i)
+        return format(v, "016x")
+
+    for i, raw in rows:
+        assert got[i] == (py_hash(bytes(raw)) if raw is not None else None), i
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    assert got[3] is None and got[4] is None and got[5] is None
+    # 16 lowercase hex chars, top bit always clear (63-bit code)
+    assert len(got[0]) == 16 and int(got[0], 16) < 1 << 63
