@@ -210,6 +210,40 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: five-way join — two big facts (lineitem,
+    orders) plus four dimensions — with the region filter pushed
+    through nation to prune most of the join tree.  Declared as plain
+    joins: Catalyst broadcast-plans every dimension (region/nation/
+    supplier/customer fit the build side) and AQE picks the
+    orders⋈lineitem strategy from runtime sizes.  Money is summed as
+    per-row cents (int64) so no float aggregate crosses the oracle
+    boundary."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    region = rd("region").where(F.col("r_name") == "ASIA")
+    orders = rd("orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        _li(spark, sf_dir)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(rd("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            rd("supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(rd("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+
+
 def q_source_rollup(spark, sf_dir):
     """Grouping sets via ROLLUP, issued through the spark.sql STRING API
     over a temp view (the SQL surface parity check — everything else in
@@ -242,6 +276,13 @@ def q_text_quality(spark, sf_dir):
         "stop_ratio_micro", "punct_ratio_micro", "keep",
         textops.lang_guess(F.col("text")).alias("lang_guess"),
     )
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (textops.tfidf_topk): keyword
+    extraction with integer-exact linear idf and deterministic
+    tie-breaks, so the whole tf/df/score/rank chain hash-matches."""
+    return textops.tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -493,6 +534,29 @@ def q_cluster_keep_best(spark, sf_dir):
     )
     scores = d.select("doc_id", F.col("n_chars").alias("score"))
     return graph.keep_best(stars.union(chains), scores).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "kept",
+    )
+
+
+def q_fuzzy_dedup_e2e(spark, sf_dir):
+    """The COMPOSED fuzzy-dedup pipeline, end to end: minhash-LSH pair
+    emission -> connected components (pointer jumping) -> keep-best
+    winner election (max n_chars, ties min id) — the full
+    RefinedWeb-style near-dup collapse as one verified chain over the
+    real corpus (not a planted graph).  Each stage is its own green
+    contract row (dedup_minhash_lsh, dedup_clusters, cluster_keep_best);
+    this row checks they compose: the oracle re-runs the whole chain —
+    banding CTEs -> recursive CTE -> window pick — in DuckDB."""
+    from .functions import graph
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", n=3, threshold_micro=500_000
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    scores = docs.select("doc_id", F.col("n_chars").alias("score"))
+    return graph.keep_best(pairs, scores).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
         "kept",
@@ -1136,9 +1200,11 @@ QUERIES = {
     "per_source_agg": q_per_source_agg,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    "regional_revenue": q_regional_revenue,
     "json_extract": q_json_extract,
     "source_rollup": q_source_rollup,
     "text_quality": q_text_quality,
+    "tfidf_topk": q_tfidf_topk,
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
     "sessionize": q_sessionize,
@@ -1158,6 +1224,7 @@ QUERIES = {
     "host_reputation": q_host_reputation,
     "blocklist_filter": q_blocklist_filter,
     "cluster_keep_best": q_cluster_keep_best,
+    "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
     "anchor_text": q_anchor_text,
     "dedup_exact_stream": q_dedup_exact_stream,
     "redirect_resolve": q_redirect_resolve,
@@ -1501,6 +1568,23 @@ ORACLES = {
         group by o.o_orderkey, o.o_orderdate, o.o_orderpriority
         order by revenue_cents desc, o.o_orderkey asc
         limit 10
+    """,
+    "regional_revenue": """
+        select n.n_name,
+               cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) as bigint)) as bigint)
+                 as revenue_cents
+        from customer c
+        join orders o on o.o_custkey = c.c_custkey
+        join lineitem l on l.l_orderkey = o.o_orderkey
+        join supplier s on l.l_suppkey = s.s_suppkey
+                       and c.c_nationkey = s.s_nationkey
+        join nation n on s.s_nationkey = n.n_nationkey
+        join region r on n.n_regionkey = r.r_regionkey
+        where r.r_name = 'ASIA'
+          and o.o_orderdate >= timestamp '1996-01-01'
+          and o.o_orderdate < timestamp '1997-01-01'
+        group by n.n_name
     """,
     "json_extract": """
         select event_id, cast(props->>'k' as bigint) as k_val from events
@@ -1856,6 +1940,36 @@ ORACLES = {
                rn = 1 as kept
         from win
     """,
+    "fuzzy_dedup_e2e": f"""
+        with recursive pairs as (
+          select doc_a, doc_b from (
+            {_minhash_lsh_oracle()}
+          ) mh
+        ), edges as (
+          select doc_a as src, doc_b as dst from pairs
+          union
+          select doc_b, doc_a from pairs
+        ), reach(node, lab) as (
+          select src, src from edges
+          union
+          select e.src, r.lab from edges e join reach r on r.node = e.dst
+        ), comp as (
+          select node, min(lab) as component from reach group by 1
+        ), labeled as (
+          select d.doc_id, coalesce(c.component, d.doc_id) as component,
+                 d.n_chars
+          from documents d left join comp c on c.node = d.doc_id
+        ), win as (
+          select doc_id, component,
+                 row_number() over (partition by component
+                                    order by n_chars desc, doc_id asc) as rn
+          from labeled
+        )
+        select cast(doc_id as bigint) as doc_id,
+               cast(component as bigint) as component,
+               rn = 1 as kept
+        from win
+    """,
     "recrawl_priority": """
         with h as (
           select d.doc_id as url_id, d.source as host, e.epoch,
@@ -1981,6 +2095,37 @@ ORACLES = {
                  as lm_score_micro
         from big b join model m on b.w1 = m.w1 and b.w2 = m.w2
         group by b.doc_id
+    """,
+    "tfidf_topk": r"""
+        with t as (
+          select doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> x <> '') as toks
+          from documents
+        ), terms as (
+          select doc_id, unnest(toks) as term from t
+        ), tf as (
+          select doc_id, term, count(*) as tf from terms group by 1, 2
+        ), n as (
+          select count(*) as n_docs from documents
+        ), dfq as (
+          select term, count(*) as dfc from tf group by 1
+        ), scored as (
+          select tf.doc_id, tf.term, tf.tf,
+                 cast(floor(n.n_docs * 1000000 / dfq.dfc) as bigint)
+                   as idf_micro
+          from tf join dfq using (term) cross join n
+        ), ranked as (
+          select doc_id, term,
+                 cast(tf as bigint) as tf, idf_micro,
+                 cast(tf * idf_micro as bigint) as score,
+                 row_number() over (partition by doc_id
+                                    order by tf * idf_micro desc, term asc)
+                   as rn
+          from scored
+        )
+        select doc_id, term, tf, idf_micro, score, cast(rn as int) as rank
+        from ranked where rn <= 3
     """,
     "quality_classifier": r"""
         with t as (

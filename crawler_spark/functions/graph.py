@@ -112,9 +112,27 @@ def connected_components(
         F.col(pairs.columns[0]).cast("long").alias("src"),
         F.col(pairs.columns[1]).cast("long").alias("dst"),
     )
-    edges = both.union(
-        both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    # symmetrize in ONE pass over the pair plan: explode [(s,d),(d,s)]
+    # per row.  union(both, both.swapped) would evaluate the upstream
+    # plan twice before the checkpoint — for a cheap synthesized edge
+    # list that's invisible, but when the pairs come off a full
+    # minhash-LSH chain (q_fuzzy_dedup_e2e) it doubles the most
+    # expensive stage of the whole job.
+    edges = (
+        both.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -703,12 +703,81 @@ def hashed_linear_score(
         toks, F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
     )
     n = F.size(toks).cast("long")
+    # staged projections: higher-order functions evaluate interpreted
+    # (outside codegen CSE), so referencing the token aggregate from
+    # several output columns would recompute the whole md5 chain per
+    # column.  CollapseProject keeps non-cheap expressions staged
+    # (SPARK-36718), so ssum/n are computed exactly once.
+    staged = df.select(
+        F.col(id_col), ssum.alias("__ssum"), n.alias("__n")
+    )
+    s, cnt = F.col("__ssum"), F.col("__n")
     mean = F.when(
-        n > 0, ((ssum - F.pmod(ssum, n)) / n).cast("long")
+        cnt > 0, ((s - F.pmod(s, cnt)) / cnt).cast("long")
     ).otherwise(F.lit(0).cast("long"))
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        n.cast("int").alias("n_toks"),
+        cnt.cast("int").alias("n_toks"),
         mean.alias("score_micro"),
-        (mean > F.lit(threshold_micro)).alias("keep"),
+    ).withColumn("keep", F.col("score_micro") > F.lit(threshold_micro))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k salient terms by TF-IDF — the keyword /
+    topic-signal extraction step a corpus-analysis pipeline runs over a
+    crawl (and the feature input for URL/topic routing).  Emits
+    ``(id, term, tf, idf_micro, score, rank)`` with rank 1..k per doc,
+    ties broken term-asc so the pick is deterministic.
+
+    Integer-exact variant: idf_micro = floor(1e6 * N / df_t) (linear
+    inverse document frequency) so the score is bit-identical across
+    engines; the classic ``ln(N/df)`` swap is one expression at the
+    same call site — it only reorders near-ties, and float ln cannot be
+    hash-compared across engines.
+
+    Scale shape: tokenization is scan-local; tf is ONE (doc, term)
+    shuffle with map-side combine; document frequency is a groupBy over
+    the per-doc distinct term set (partial-aggregated); N and the df
+    table join back map-side (df table is vocabulary-sized — broadcast
+    when it fits, AQE decides); the top-k is a per-doc window over at
+    most |doc| terms, never a global sort.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    terms = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf_micro",
+            F.floor(F.col("__n") * 1_000_000 / F.col("__df")).cast("long"),
+        )
+        .select("term", "idf_micro")
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", (F.col("tf") * F.col("idf_micro")).cast("long")
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select(
+            F.col("__id").alias(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "idf_micro",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
