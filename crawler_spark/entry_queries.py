@@ -962,10 +962,11 @@ def q_winnow(spark, sf_dir):
 def q_winnow_prod(spark, sf_dir):
     """Winnowing counts, PRODUCTION default: linear rolling-hash Arrow
     kernel, O(doc length) with no row amplification (textops.
-    winnow_counts).  The rolling hash is not reproducible in DuckDB SQL,
-    so this row carries no oracle (driver records the weaker rows-only
-    check); pick-count equality with the pure-Python reference kernel is
-    asserted in tests/test_winnow.py instead."""
+    winnow_counts).  Oracle-checked: the polynomial k-gram hash is
+    recomputed in DuckDB via unicode(substr(...)) (_winnow_prod_oracle),
+    so the hash, the window argmin, and the consecutive-pick dedup all
+    hash-match; pick-count equality with the pure-Python reference
+    kernel is additionally asserted in tests/test_winnow.py."""
     return textops.winnow_counts(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
@@ -1398,6 +1399,48 @@ def _winnow_oracle(k: int = 5, w: int = 4) -> str:
 with g as (
   select doc_id as doc, i,
          cast(concat('0x', substr(md5(substr(lower(text), i, {k})), 1, 8)) as bigint) as h
+  from (select doc_id, text, unnest(generate_series(1, length(text) - {k} + 1)) as i
+        from documents where length(text) >= {k})
+),
+wins as (
+  select doc, i,
+         min({{'h': h, 'p': i}}) over (
+           partition by doc order by i
+           rows between current row and {w - 1} following) as pick,
+         count(*) over (partition by doc) as nh
+  from g
+),
+sel as (
+  select doc, pick.p as j,
+         lag(pick.p) over (partition by doc order by i) as pj
+  from wins
+  where i <= greatest(nh - {w} + 1, 1)
+),
+cnt as (
+  select doc, count(*) as n_fp from sel
+  where pj is null or j <> pj group by doc
+)
+select d.doc_id, cast(coalesce(c.n_fp, 0) as bigint) as n_fp
+from documents d left join cnt c on c.doc = d.doc_id
+"""
+
+
+def _winnow_prod_oracle(k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of the PRODUCTION winnow kernel (textops.
+    winnow_counts): the same polynomial k-gram hash
+    sum(code * B^(k-1-j)) mod 2^61-1 computed per position via
+    unicode(substr(...)), then the identical struct-min window argmin +
+    lag dedup selection as _winnow_oracle.  This makes the linear
+    rolling-hash default oracle-checkable, not just twin-tested."""
+    B, M = 131, (1 << 61) - 1
+    pows = [pow(B, k - 1 - j, M) for j in range(k)]
+    hexpr = " + ".join(
+        f"cast(unicode(substr(lower(text), i + {j}, 1)) as bigint) * {pows[j]}"
+        for j in range(k)
+    )
+    return f"""
+with g as (
+  select doc_id as doc, i, ({hexpr}) % {M} as h
   from (select doc_id, text, unnest(generate_series(1, length(text) - {k} + 1)) as i
         from documents where length(text) >= {k})
 ),
@@ -2320,6 +2363,7 @@ ORACLES = {
     """,
     "simhash_pairs": _simhash_md5_oracle(max_hamming=8),
     "winnow_fingerprints": _winnow_oracle(k=5, w=4),
+    "winnow_counts_prod": _winnow_prod_oracle(k=5, w=4),
     "dup_substrings": _dup_substrings_oracle(k=20, w=4, min_shared=5, max_df=200),
     "audio_resample": """
         -- payload closed-form in doc_id: sr = 8000 + (doc_id%5)*2000,
