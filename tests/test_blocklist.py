@@ -62,3 +62,33 @@ def test_no_corpus_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "Broadcast" not in line:
             assert "__bid" in line, line
+
+
+def test_property_random_hosts(spark):
+    """Batch property check vs a pure-Python suffix-match oracle over
+    random hosts and a random blocklist (seeded)."""
+    import random
+
+    rng = random.Random(7)
+    labels = ["a", "b", "co", "example", "ads", "x1", "tracker"]
+
+    def mk_host():
+        return ".".join(
+            rng.choice(labels) for _ in range(rng.randrange(1, 5))
+        )
+
+    hosts = [mk_host() for _ in range(300)]
+    block = sorted({mk_host() for _ in range(12)})
+
+    def py_blocked(h):
+        parts = h.split(".")
+        sufs = {".".join(parts[i:]) for i in range(len(parts))}
+        return bool(sufs & set(block))
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string"
+    )
+    bl = spark.createDataFrame([(d,) for d in block], "domain string")
+    got = {r.doc_id: r.blocked for r in hoststats.tag_blocked(df, bl).collect()}
+    for i, h in enumerate(hosts):
+        assert got[i] == py_blocked(h), (i, h)

@@ -74,3 +74,28 @@ def test_threshold_parameter(spark):
     lo = textops.hashed_linear_score(df, threshold_micro=-10**9).collect()[0]
     hi = textops.hashed_linear_score(df, threshold_micro=10**9).collect()[0]
     assert lo.keep and not hi.keep
+
+
+def test_property_random_texts(spark):
+    """Batch property check: one Spark job over many adversarial random
+    texts (unicode, punctuation-only, huge tokens) == the pure-Python
+    twin.  Seeded, not hypothesis-per-example: a Spark job per example
+    would dominate the suite."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz ABC!?.,;:0123456789\t\né中"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 200)))
+        for _ in range(200)
+    ]
+    texts += ["!!!", " ", "中文文本", "a" * 5000]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_toks, r.score_micro, r.keep)
+        for r in textops.hashed_linear_score(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _score_py(t), (i, repr(t[:50]))
