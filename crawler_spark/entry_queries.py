@@ -319,6 +319,16 @@ def q_stratified_sample(spark, sf_dir):
     return textops.sample_stratified(docs, fractions).select("doc_id", "source")
 
 
+def q_host_cap_sample(spark, sf_dir):
+    """Per-domain contribution cap (textops.sample_host_cap): at most
+    20 docs per source, survivors picked by deterministic hash order —
+    the RefinedWeb domain-balancing step.  The oracle replays the same
+    md5 bucket and row_number pick."""
+    return textops.sample_host_cap(
+        _docs(spark, sf_dir), cap=20
+    ).select("doc_id", "source")
+
+
 def q_corpus_clean(spark, sf_dir):
     """The composed training-data pipeline: quality-filter (C4-style
     keep) -> exact dedup (survivors only) -> deterministic 50% sample —
@@ -1235,6 +1245,7 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "quality_classifier": q_quality_classifier,
     "stratified_sample": q_stratified_sample,
+    "host_cap_sample": q_host_cap_sample,
     "html_extract": q_html_extract,
     "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
@@ -1714,6 +1725,19 @@ ORACLES = {
         from documents d join cut using (source)
         where cast(concat('0x', substr(md5('sample|' || cast(d.doc_id as varchar)), 1, 8))
                    as bigint) % 1000000 < cut.cut
+    """,
+    "host_cap_sample": """
+        with ranked as (
+          select doc_id, source,
+                 row_number() over (
+                   partition by source
+                   order by cast(concat('0x', substr(md5(
+                              'hostcap|' || cast(doc_id as varchar)), 1, 8))
+                            as bigint) % 1000000 asc,
+                            doc_id asc) as rn
+          from documents
+        )
+        select doc_id, source from ranked where rn <= 20
     """,
     "host_rank": """
         with edges as (

@@ -781,3 +781,37 @@ def tfidf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def sample_host_cap(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    seed: str = "hostcap",
+) -> DataFrame:
+    """Per-domain contribution cap — the RefinedWeb/C4-style domain
+    balancing step: no host may contribute more than ``cap`` documents
+    to the corpus, and which documents survive is decided by a
+    deterministic hash order (bucket, then id), never by partition
+    order, so the sample is bit-reproducible across engines, reruns,
+    and partitionings.
+
+    Scale shape: ONE window shuffle on the host key; the per-host sort
+    is bounded by the host's own document count.  A mega-host (the
+    exact case the cap exists for) makes that one group large — if a
+    single host's documents exceed an executor's sort budget, the
+    two-phase swap at the same call site is: salt the window
+    (host, pmod(bucket, S)), rank within salts, then re-rank the ≤S*cap
+    survivors — same discipline as the politeness rank
+    (politeness.py), documented not default because the plain window is
+    exact and cheaper below ~10^7 docs/host.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        hash_bucket_micro(F.col(id_col), seed=seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(cap))
+        .drop("__rn")
+    )

@@ -48,3 +48,16 @@ def test_sample_temperature_rebalances(spark):
     # the big source's by ~sqrt(9) = 3x
     ratio = (n_small / 400) / (n_big / 3600)
     assert 2.0 < ratio < 4.5
+
+
+def test_host_cap_partition_invariance(spark):
+    """sample_host_cap must pick the SAME survivors regardless of input
+    partitioning (the pick is hash-ordered, never partition-ordered)."""
+    from crawler_spark.functions import textops
+
+    rows = [(i, f"s{i % 7}") for i in range(400)]
+    df1 = spark.createDataFrame(rows, "doc_id long, source string")
+    df8 = df1.repartition(8)
+    a = {r.doc_id for r in textops.sample_host_cap(df1, cap=9).collect()}
+    b = {r.doc_id for r in textops.sample_host_cap(df8, cap=9).collect()}
+    assert a == b and len(a) == 7 * 9
