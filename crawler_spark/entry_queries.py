@@ -951,7 +951,11 @@ def q_dup_substrings(spark, sf_dir):
     winnowing (k,w) guarantee instead of a global suffix sort.  k=20 on
     this small-vocab corpus so a fingerprint witnesses a real >=23-char
     verbatim overlap; max_df=200 stop-fingerprint cap active (same
-    subquadratic discipline as ngram_jaccard)."""
+    subquadratic discipline as ngram_jaccard).  Runs the PRODUCTION
+    linear mod-2^64 Arrow fingerprint kernel (textops.winnow_picks — no
+    row amplification, vectorized at k=20); the oracle recomputes the
+    same hash in DuckDB as hugeint % 2^64, so the fast path is the
+    verified path."""
     return dedup.dup_substring_pairs(
         _docs(spark, sf_dir).select("doc_id", "text"),
         k=20, w=4, min_shared=5, max_df=200,
@@ -1481,13 +1485,24 @@ from documents d left join cnt c on c.doc = d.doc_id
 def _dup_substrings_oracle(
     k: int = 20, w: int = 4, min_shared: int = 5, max_df: int = 200
 ) -> str:
-    """DuckDB twin of dedup.dup_substring_pairs: the _winnow_oracle
-    selection core, then distinct picked VALUES per doc, stop-fp cap,
-    inverted-index self-join with a shared-count floor."""
+    """DuckDB twin of dedup.dup_substring_pairs (kernel='prod'): the
+    PRODUCTION mod-2^64 polynomial k-gram hash recomputed per position
+    via unicode(substr) in hugeint (the window argmin compares the
+    unsigned value; the picked fp is reinterpreted as int64 two's
+    complement to match Spark's long), then the shared struct-min
+    selection, distinct picked VALUES per doc, stop-fp cap, and the
+    inverted-index self-join with a shared-count floor.  This verifies
+    the linear Arrow kernel end-to-end — hash, selection, and join —
+    with no md5 twin in the default path."""
+    B, M = 131, 1 << 64
+    pows = [pow(B, k - 1 - j, M) for j in range(k)]
+    hexpr = " + ".join(
+        f"cast(unicode(substr(lower(text), i + {j}, 1)) as hugeint) * {pows[j]}"
+        for j in range(k)
+    )
     return f"""
 with g as (
-  select doc_id as doc, i,
-         cast(concat('0x', substr(md5(substr(lower(text), i, {k})), 1, 8)) as bigint) as h
+  select doc_id as doc, i, ({hexpr}) % {M} as h
   from (select doc_id, text, unnest(generate_series(1, length(text) - {k} + 1)) as i
         from documents where length(text) >= {k})
 ),

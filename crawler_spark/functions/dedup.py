@@ -491,6 +491,7 @@ def dup_substring_pairs(
     min_shared: int = 3,
     max_df: int | None = 1000,
     hash_kind: str = "md5",
+    kernel: str = "prod",
 ) -> DataFrame:
     """Verbatim-overlap duplicate pairs via winnowing fingerprints — the
     scalable approximation of exact duplicated-substring dedup (Lee et
@@ -509,16 +510,23 @@ def dup_substring_pairs(
     (and the same contract-scale-exactness argument) as
     dedup_ngram_jaccard's cap.
 
-    Scale shape: fingerprinting is per-doc parallel (winnow_picks_sql
-    here for the DuckDB-reproducible md5 slice; the linear Arrow kernel
-    textops.winnow_counts is the documented prod swap for the
-    fingerprint step), then ONE inverted-index self-join on fp with
-    map-side-combined pair counts — identical join displacement to the
-    minhash band join.
+    Scale shape: fingerprinting is per-doc parallel, then ONE
+    inverted-index self-join on fp with map-side-combined pair counts —
+    identical join displacement to the minhash band join.  ``kernel``
+    picks the fingerprint step: 'prod' (default) = textops.winnow_picks,
+    the linear mod-2^64 Arrow kernel — O(doc length), no row
+    amplification, vectorized for any k, and still DuckDB-reproducible
+    (hugeint % 2^64 recomputation in the oracle); 'sql' = the
+    windowed-SQL md5-slice twin (winnow_picks_sql) — one exploded row
+    per character position, kept for the plan-identical contract twin
+    only.
     """
-    from .textops import winnow_picks_sql
+    from .textops import winnow_picks, winnow_picks_sql
 
-    picks = winnow_picks_sql(df, id_col, text_col, k, w, hash_kind)
+    if kernel == "prod":
+        picks = winnow_picks(df, id_col, text_col, k, w)
+    else:
+        picks = winnow_picks_sql(df, id_col, text_col, k, w, hash_kind)
     if max_df is not None:
         keep = picks.groupBy("fp").agg(F.count("*").alias("df_")).where(
             F.col("df_") <= max_df

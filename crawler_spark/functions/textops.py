@@ -329,15 +329,21 @@ def winnow_fingerprints_py(
     min-per-window, dedup consecutive picks.  Pure Python core shared by
     the pandas UDF and unit tests.
 
-    hash_kind 'rolling' = Karp-Rabin mod (2^61 - 1), the production
-    kernel; 'md5' = first 8 hex chars of md5(k-gram) as a 32-bit int —
-    slower, but bit-reproducible in DuckDB SQL / Spark built-ins (the
-    oracle twin, same trade as the MinHash signatures)."""
+    hash_kind 'rolling' = Karp-Rabin mod (2^61 - 1), the classic
+    kernel (int64-vectorizable only up to k~9); 'poly64' = the same
+    polynomial with natural mod-2^64 wraparound — vectorizable for ANY
+    k (uint64 numpy) AND DuckDB-reproducible (hugeint % 2^64), window
+    argmin taken on the UNSIGNED value, picks reinterpreted as int64
+    two's complement at output; 'md5' = first 8 hex chars of
+    md5(k-gram) as a 32-bit int — slower, but bit-reproducible in
+    DuckDB SQL / Spark built-ins (the oracle twin, same trade as the
+    MinHash signatures)."""
     s = text.lower()
     n = len(s)
     if n < k:
         return []
     hashes: list[int] = []
+    signed_out = False
     if hash_kind == "md5":
         import hashlib
 
@@ -345,6 +351,17 @@ def winnow_fingerprints_py(
             hashes.append(
                 int(hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:8], 16)
             )
+    elif hash_kind == "poly64":
+        signed_out = True
+        B, M = 131, 1 << 64
+        pw = pow(B, k - 1, M)
+        h = 0
+        for i, ch in enumerate(map(ord, s)):
+            h = (h * B + ch) % M
+            if i >= k:
+                h = (h - ord(s[i - k]) * pw * B) % M
+            if i >= k - 1:
+                hashes.append(h)
     else:
         B, M = 131, (1 << 61) - 1
         pw = pow(B, k - 1, M)
@@ -363,6 +380,8 @@ def winnow_fingerprints_py(
         if j != last:
             picks.append(hashes[j])
             last = j
+    if signed_out:
+        picks = [p - (1 << 64) if p >= (1 << 63) else p for p in picks]
     return picks
 
 
@@ -406,6 +425,69 @@ def _winnow_count_vec(s: str, k: int, w: int) -> int:
     if picks is None:
         return len(winnow_fingerprints_py(s, k, w))
     return len(picks)
+
+
+def _winnow_picks_vec64(s: str, k: int, w: int) -> "list[int]":
+    """Vectorized winnowing with the mod-2^64 polynomial k-gram hash —
+    one numpy pass per document for ANY k (uint64 multiplication wraps
+    naturally, so there is no overflow gate, unlike the 2^61-1 kernel's
+    k~9 int64 ceiling).  The window argmin compares the UNSIGNED hash
+    (matching DuckDB's hugeint % 2^64 recomputation); picked values are
+    reinterpreted as int64 two's complement so they fit a Spark long.
+    Identical picks to winnow_fingerprints_py(s, k, w, 'poly64') —
+    asserted in tests."""
+    import numpy as np
+
+    s = s.lower()
+    n = len(s)
+    if n < k:
+        return []
+    pows = np.array([pow(131, k - 1 - j, 1 << 64) for j in range(k)],
+                    dtype=np.uint64)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    with np.errstate(over="ignore"):
+        h = (win * pows).sum(axis=1, dtype=np.uint64)
+    L = len(h)
+    if L <= w:
+        return [int(h[int(np.argmin(h))].astype(np.int64))]
+    wv = np.lib.stride_tricks.sliding_window_view(h, w)
+    j = np.arange(L - w + 1) + wv.argmin(axis=1)  # argmin ties -> leftmost
+    keep = np.ones(len(j), dtype=bool)
+    keep[1:] = j[1:] != j[:-1]
+    return h[j[keep]].astype(np.int64).tolist()
+
+
+def winnow_picks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 12, w: int = 4,
+) -> DataFrame:
+    """PRODUCTION winnow pick-values path: distinct selected fingerprint
+    VALUES per doc as ``(id_col, fp)`` — the inverted-index input for
+    shared-substring pair mining — via the linear mod-2^64 Arrow kernel
+    (_winnow_picks_vec64).  O(doc length) per document with NO row
+    amplification, vectorized for any k, and still fully
+    oracle-checkable: DuckDB recomputes the same hash as
+    hugeint % 2^64 per position (entry _dup_substrings oracle).  This
+    retires the SQL twin's per-character explode from the default
+    pair-mining path (winnow_picks_sql remains the md5 contract twin)."""
+    import pyspark.sql.types as T
+
+    id_field = df.schema[id_col]
+    schema = T.StructType([id_field, T.StructField("fp", T.LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            fps: list[int] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                for f in set(_winnow_picks_vec64(t or "", k, w)):
+                    ids.append(i)
+                    fps.append(f)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                                "fp": pd.Series(fps, dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
 def winnow_counts(

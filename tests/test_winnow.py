@@ -119,3 +119,60 @@ def test_dup_substring_pairs_guarantee_and_noise_floor(spark):
     # (k,w) guarantee: the 54-char shared span must surface the (1,2) pair
     assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
     assert rows[0].n_shared >= 2
+
+
+def test_winnow_picks_vec64_matches_python_poly64():
+    """The any-k vectorized mod-2^64 kernel must reproduce the pure
+    Python poly64 reference's exact pick sequence — no overflow gate,
+    so every (k, w) stays vectorized, including k=20 on astral-ish
+    alphabets where the 2^61-1 kernel falls back to Python."""
+    import random
+
+    rng = random.Random(13)
+    alpha = "abcdefg é中\U0001F600"
+    for _ in range(200):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60)))
+        for k, w in ((5, 4), (3, 2), (20, 4), (12, 7)):
+            want = textops.winnow_fingerprints_py(s, k, w, hash_kind="poly64")
+            got = textops._winnow_picks_vec64(s, k, w)
+            assert got == want, (s, k, w)
+            assert all(-(1 << 63) <= p < (1 << 63) for p in got)
+
+
+def test_winnow_picks_prod_dataframe(spark):
+    """winnow_picks (the production pair-mining input) returns the
+    DISTINCT poly64 pick values per doc."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp)
+        for r in textops.winnow_picks(df, "doc_id", k=5, w=4).collect()
+    }
+    want = {
+        (i, f)
+        for i, t in DOCS
+        for f in set(textops.winnow_fingerprints_py(t, 5, 4, hash_kind="poly64"))
+    }
+    assert got == want
+
+
+def test_dup_substring_pairs_prod_and_sql_agree_on_planted(spark):
+    """Both fingerprint kernels honour the (k,w) guarantee: the planted
+    verbatim overlap surfaces under the prod mod-2^64 kernel AND the
+    md5 SQL twin (pick positions may differ; the guaranteed pair may
+    not)."""
+    from crawler_spark.functions import dedup
+
+    shared = "the exact same long verbatim overlapping span of text"
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc " + shared + " dddd eeee"),
+            (2, shared + " ffff gggg hhhh iiii jjjj kkkk"),
+            (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"),
+        ],
+        "doc_id long, text string",
+    )
+    for kernel in ("prod", "sql"):
+        out = dedup.dup_substring_pairs(
+            docs, k=12, w=4, min_shared=2, max_df=100, kernel=kernel
+        )
+        assert [(r.doc_a, r.doc_b) for r in out.collect()] == [(1, 2)], kernel
