@@ -26,10 +26,12 @@ host_rank (fixed-point PageRank, unrolled-CTE oracle), dedup_clusters
 (connected components, recursive-CTE oracle), decontaminate (broadcast
 benchmark-shingle scrub), snapshot_diff (recrawl differencing),
 cdx_index (SURT archive key) — every query has a DuckDB oracle (the
-md5-slice hashing trick makes simhash / winnow / minhash reproducible;
-full-probe equivalence and a measured recall-1.0 probe ball make the
-pruned ANN paths brute-force-checkable) except the two documented
-rows-only entries (winnow_counts_prod, knn_join_lsh).
+md5-slice hashing trick makes simhash / winnow reproducible; minhash
+uses the affine family over one md5-derived 32-bit base hash; the
+production winnow and dup_substrings kernels recompute their
+polynomial hashes in SQL; full-probe equivalence and a measured
+recall-1.0 probe ball make the pruned ANN paths brute-force-checkable)
+except the documented rows-only entry knn_join_lsh.
 """
 
 from __future__ import annotations
@@ -1302,12 +1304,15 @@ where floor(inter * 1000000.0 / (x.sz + y.sz - inter)) >= 500000
 
 
 def _minhash_lsh_oracle() -> str:
+    """Recomputes the AFFINE minhash family bit-exactly: one md5 per
+    shingle -> 32-bit base hash -> min((a_i*h + b_i) % 2^32) with the
+    coefficients imported from dedup.MH_A/MH_B (a_i < 2^31 keeps every
+    product exact in bigint on both engines)."""
     n_hashes, n_bands, rpb = dedup.N_HASHES, dedup.N_BANDS, dedup.ROWS_PER_BAND
 
     def mh_expr(i: int) -> str:
-        p, c = divmod(i, dedup.CHUNKS_PER_MD5)
         return (
-            f"min(substr(md5('s{p}|' || shingle), {4 * c + 1}, 4)) as mh_{i}"
+            f"min((h * {dedup.MH_A[i]} + {dedup.MH_B[i]}) % 4294967296) as mh_{i}"
         )
 
     mh_cols = ",\n    ".join(mh_expr(i) for i in range(n_hashes))
@@ -1321,10 +1326,15 @@ def _minhash_lsh_oracle() -> str:
         for b in range(n_bands)
     )
     return f"""{_SHINGLE_CTE},
+hv as (
+  select doc, shingle,
+         cast(concat('0x', substr(md5(shingle), 1, 8)) as bigint) as h
+  from sh
+),
 sig as (
   select doc,
     {mh_cols}
-  from sh group by doc
+  from hv group by doc
 ),
 bands as (
 {band_selects}

@@ -144,62 +144,68 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------- minhash
-# 32 min-hashes from only N_MD5 md5 evaluations per shingle: md5 yields 32
-# hex chars; each 4-hex-char slice is an independent 16-bit hash, and the
-# *lexicographic* min over fixed-length lowercase-hex slices is a valid
-# min-hash order (uniform over values).  Identical slicing reproduces in
-# DuckDB SQL, which is what keeps the oracle bit-exact.
+# 32 min-hashes from ONE md5 evaluation per shingle: the first 8 hex
+# chars give a 32-bit base hash h; the i-th min-hash is the min over
+# shingles of the affine transform (MH_A[i] * h + MH_B[i]) mod 2^32 —
+# the standard pairwise-independent minhash family.  MH_A[i] is odd and
+# < 2^31, so a*h + b < 2^63 + 2^32 stays exact in int64 on BOTH engines
+# (no overflow wrap relied on), and the identical expression reproduces
+# in DuckDB SQL, which is what keeps the oracle bit-exact.  vs the old
+# 4-md5 16-bit-slice scheme: 4x fewer digest evaluations, integer
+# min-aggs instead of string min-aggs, and 32-bit hashes (fewer chance
+# band collisions).
 N_HASHES = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
-N_MD5 = 4
-CHUNKS_PER_MD5 = 8  # 32 hex chars / 4
 
-
-def _mh_slice(i: int, shingle) -> "F.Column":
-    p, c = divmod(i, CHUNKS_PER_MD5)
-    return F.substring(F.md5(F.concat(F.lit(f"s{p}|"), shingle)), 4 * c + 1, 4)
+# Deterministic affine coefficients (Knuth multiplicative constant walk;
+# any fixed pairwise-distinct odd a_i works — these are shared verbatim
+# with the DuckDB oracle via this module).
+MH_A = [(((2 * i + 1) * 2654435761) % (1 << 31)) | 1 for i in range(N_HASHES)]
+MH_B = [((i + 1) * 2246822519) % (1 << 32) for i in range(N_HASHES)]
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc, mh_0..mh_31): sliced-md5 min-hashes (see module comment).
+    """(doc, mh_0..mh_31): affine min-hashes (see module comment).
 
-    The N_MD5 digests are projected ONCE per shingle row before the
-    aggregate; the 32 min()s then slice those columns.  Expressing the
-    md5 inside each aggregate instead leaves 32 digest evaluations per
-    row (Catalyst does not CSE across aggregate expressions) — measured
-    ~2x on the sf0.1 contract query."""
-    digests = sh.select(
+    The md5-derived 32-bit base hash is projected ONCE per shingle row
+    before the aggregate; the 32 min()s are then pure int64 affine
+    expressions in whole-stage codegen (Catalyst does not CSE across
+    aggregate expressions, so hashing inside each aggregate would pay
+    32 digests per row — measured ~2x on the sf0.1 contract query back
+    when the digests were the per-agg work)."""
+    base = sh.select(
         "doc",
-        *[
-            F.md5(F.concat(F.lit(f"s{p}|"), F.col("shingle"))).alias(f"_d{p}")
-            for p in range(N_MD5)
-        ],
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_h"),
     )
-    aggs = []
-    for i in range(N_HASHES):
-        p, c = divmod(i, CHUNKS_PER_MD5)
-        aggs.append(
-            F.min(F.substring(F.col(f"_d{p}"), 4 * c + 1, 4)).alias(f"mh_{i}")
-        )
-    return digests.groupBy("doc").agg(*aggs)
+    aggs = [
+        F.min((F.col("_h") * F.lit(MH_A[i]) + F.lit(MH_B[i])) % F.lit(1 << 32))
+        .alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+    return base.groupBy("doc").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature; equal band-signature -> candidate pair."""
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sig.select(
-                F.col("doc"),
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("bsig"),
-            )
+    """Band the signature; equal band-signature -> candidate pair.
+
+    Bands come from ONE posexplode projection, not an N_BANDS-way
+    union: each union branch re-evaluates the whole upstream signature
+    aggregate (Catalyst does not share subplans across union arms), so
+    the union form paid 8 aggregate passes per join side — measured 3-5s
+    vs <1s on the sf0.1 contract row."""
+    band_sigs = [
+        F.concat_ws(
+            "|",
+            *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
         )
-    allb = bands[0]
-    for d in bands[1:]:
-        allb = allb.unionByName(d)
+        for b in range(N_BANDS)
+    ]
+    allb = sig.select(
+        "doc", F.posexplode(F.array(*band_sigs)).alias("band", "bsig")
+    )
     a, b2 = allb.alias("a"), allb.alias("b")
     return (
         a.join(b2, ["band", "bsig"])
@@ -336,16 +342,12 @@ def simhash_md5_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     design above, same as the xxhash64 kernel), hamming = sum of chunk
     bit_counts.  Returns (doc_a, doc_b, hamming) — DuckDB-reproducible."""
     sigs = simhash_md5_chunks(df, id_col, text_col)
-    chunks = [
-        sigs.select(
-            "doc", "ck_0", "ck_1", "ck_2", "ck_3",
-            F.lit(c).alias("chunk"), F.col(f"ck_{c}").alias("ck"),
-        )
-        for c in range(4)
-    ]
-    allc = chunks[0]
-    for d in chunks[1:]:
-        allc = allc.unionByName(d)
+    # ONE posexplode, not a 4-way union: each union arm re-evaluates the
+    # whole 64-aggregate signature plan on BOTH join sides (8 passes)
+    allc = sigs.select(
+        "doc", "ck_0", "ck_1", "ck_2", "ck_3",
+        F.posexplode(F.array("ck_0", "ck_1", "ck_2", "ck_3")).alias("chunk", "ck"),
+    )
     a, b = allc.alias("a"), allc.alias("b")
     ham = sum(
         F.bit_count(F.col(f"a.ck_{c}").bitwiseXOR(F.col(f"b.ck_{c}")))
@@ -425,16 +427,20 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     """Near-dup pairs within Hamming distance via 4x16-bit band blocking
     (any pair within distance 3 shares at least one exact 16-bit chunk)."""
     sigs = simhash(df, id_col, text_col)
-    chunks = [
-        sigs.select(
-            "doc", "simhash", F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
-        )
-        for c in range(4)
-    ]
-    allc = chunks[0]
-    for d in chunks[1:]:
-        allc = allc.unionByName(d)
+    # ONE posexplode, not a 4-way union (same aggregate-fanout reasoning
+    # as simhash_md5_near_pairs)
+    allc = sigs.select(
+        "doc", "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "ck"),
+    )
     a, b = allc.alias("a"), allc.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -414,6 +414,9 @@ def cosine_neardup_pairs_lsh(
             base.withColumn("bucket", lsh_bucket_col("v", P))
             .withColumn("seed", F.lit(s_i))
         )
+    # union fanout is fine HERE (unlike the simhash/minhash banding):
+    # each arm re-evaluates only a cheap column-pruned parquet scan, and
+    # a posexplode rewrite measured ~0.4s SLOWER at sf0.1
     bkt = parts[0]
     for d in parts[1:]:
         bkt = bkt.unionByName(d)
