@@ -708,6 +708,41 @@ def q_snapshot_diff(spark, sf_dir):
     ).select(F.col("url_id").cast("long").alias("url_id"), "status")
 
 
+def q_revisit_records(spark, sf_dir):
+    """WARC revisit-record classification (snapshots.revisit_records):
+    a 3-epoch fetch log is synthesized deterministically from the
+    documents table (content version flips at epoch 1 for doc_id%3==0,
+    again at epoch 2 for doc_id%4==1, and doc_id%5==2 REVERTS to the
+    original content at epoch 2 — exercising the revisit-to-a-non-
+    adjacent-capture case).  First capture of each (url, digest) is a
+    'response'; every later identical fetch is a 'revisit' pointing at
+    the original capture epoch.  One window over (url_id, digest)."""
+    from .functions import snapshots
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    f0 = docs.select(
+        F.col("doc_id").alias("url_id"),
+        "text",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch"),
+    )
+    v = (
+        F.when((F.col("url_id") % 5 == 2) & (F.col("epoch") == 2), F.lit(0))
+        .otherwise(
+            ((F.col("epoch") >= 1) & (F.col("url_id") % 3 == 0)).cast("int")
+            + ((F.col("epoch") == 2) & (F.col("url_id") % 4 == 1)).cast("int")
+        )
+    )
+    fetches = f0.select(
+        "url_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.md5(F.concat(F.col("text"), F.lit("#"), v.cast("string"))).alias("digest"),
+    )
+    return snapshots.revisit_records(fetches).select(
+        "url_id", "epoch", "digest", "record_type",
+        F.col("refers_to_epoch").cast("long").alias("refers_to_epoch"),
+    )
+
+
 def q_cdx_index(spark, sf_dir):
     """CDX-style archive index (urlnorm.surt_col): urls are synthesized
     with mixed-case host + fragment so the row exercises the full
@@ -937,6 +972,27 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_dedup(
         _docs(spark, sf_dir), "doc_id", n=3, threshold_micro=500_000
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental cross-snapshot fuzzy dedup (dedup.minhash_probe_index):
+    the corpus is split deterministically into an already-indexed 80%
+    (doc_id % 5 != 0) and an incoming 20% batch (doc_id % 5 == 0); the
+    batch's minhash bands probe the corpus's persisted LSH index and
+    exact Jaccard verifies only the matched candidates — signature work
+    is O(batch), never O(corpus), which is the only shape that survives
+    per-snapshot dedup at 100 TB.  Returns the incoming docs to DROP
+    with their best indexed match."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    indexed = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    return dedup.minhash_probe_index(
+        indexed, incoming, "doc_id", n=3, threshold_micro=500_000
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("match_id").cast("long"),
+        F.col("jac_micro").cast("long"),
     )
 
 
@@ -1234,6 +1290,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "snapshot_diff": q_snapshot_diff,
+    "revisit_records": q_revisit_records,
     "cdx_index": q_cdx_index,
     "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
@@ -1257,6 +1314,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "winnow_fingerprints": q_winnow,
     "winnow_counts_prod": q_winnow_prod,
@@ -1357,6 +1415,66 @@ from inter
 join sz x on x.doc = doc_a
 join sz y on y.doc = doc_b
 where floor(inter * 1000000.0 / (x.sz + y.sz - inter)) >= 500000
+"""
+
+
+def _minhash_probe_oracle() -> str:
+    """DuckDB twin of q_dedup_incremental: same affine minhash family
+    and banding as _minhash_lsh_oracle, computed over the whole corpus
+    (per-doc signatures are split-invariant), with the incoming/indexed
+    split applied at the candidate join and the best match picked by
+    (jac desc, match_id asc)."""
+    n_hashes, n_bands, rpb = dedup.N_HASHES, dedup.N_BANDS, dedup.ROWS_PER_BAND
+    mh_cols = ",\n    ".join(
+        f"min((h * {dedup.MH_A[i]} + {dedup.MH_B[i]}) % 4294967296) as mh_{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = "\n  union all\n".join(
+        "  select doc, {b} as band, {cc} as bsig from sig".format(
+            b=b,
+            cc=" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""{_SHINGLE_CTE},
+hv as (
+  select doc, shingle,
+         cast(concat('0x', substr(md5(shingle), 1, 8)) as bigint) as h
+  from sh
+),
+sig as (
+  select doc,
+    {mh_cols}
+  from hv group by doc
+),
+bands as (
+{band_selects}
+),
+cand as (
+  select distinct p.doc as doc_new, x.doc as doc_old
+  from bands p join bands x using (band, bsig)
+  where p.doc % 5 = 0 and x.doc % 5 <> 0
+),
+inter as (
+  select doc_new, doc_old, count(*) as inter
+  from cand
+  join sh a on a.doc = cand.doc_new
+  join sh b on b.doc = cand.doc_old and a.shingle = b.shingle
+  group by 1, 2
+),
+scored as (
+  select doc_new, doc_old,
+         cast(floor(inter * 1000000.0 / (x.sz + y.sz - inter)) as bigint) as jac_micro
+  from inter
+  join sz x on x.doc = doc_new
+  join sz y on y.doc = doc_old
+  where floor(inter * 1000000.0 / (x.sz + y.sz - inter)) >= 500000
+)
+select doc_new as doc_id, doc_old as match_id, jac_micro from (
+  select *, row_number() over (
+    partition by doc_new order by jac_micro desc, doc_old asc) as rn
+  from scored
+) where rn = 1
 """
 
 
@@ -2373,6 +2491,24 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": _SHINGLE_CTE + "," + _JACCARD_TAIL,
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
+    "dedup_incremental": _minhash_probe_oracle(),
+    "revisit_records": """
+        with fetches as (
+          select doc_id as url_id, e as epoch,
+                 md5(text || '#' || cast(
+                   case when doc_id % 5 = 2 and e = 2 then 0
+                        else (case when e >= 1 and doc_id % 3 = 0 then 1 else 0 end)
+                           + (case when e = 2 and doc_id % 4 = 1 then 1 else 0 end)
+                   end as varchar)) as digest
+          from documents, unnest(generate_series(0, 2)) as g(e)
+        )
+        select url_id, cast(epoch as bigint) as epoch, digest,
+               case when epoch = min(epoch) over (partition by url_id, digest)
+                    then 'response' else 'revisit' end as record_type,
+               cast(min(epoch) over (partition by url_id, digest) as bigint)
+                 as refers_to_epoch
+        from fetches
+    """,
     "ann_brute_topk": _ANN_BRUTE_SQL,
     # exact oracles for the pruned ANN paths: LSH's probe ball is
     # deterministically recall-1.0 on this corpus (asserted in tests),

@@ -56,6 +56,45 @@ def churn_by_key(
     )
 
 
+def revisit_records(
+    fetches: DataFrame,
+    key_col: str = "url_id",
+    digest_col: str = "digest",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """WARC revisit-record classification (the Common Crawl / IIPC
+    archive-dedup convention): across repeated fetches of the same URL,
+    only the FIRST capture of each distinct content digest is stored as
+    a full ``response`` record; any later fetch whose digest was already
+    captured for that URL becomes a ``revisit`` record pointing at the
+    original capture's epoch — the archive stores the pointer, not the
+    bytes.
+
+    Input: one row per fetch ``(url_id, epoch, digest)``.  Output adds
+    ``record_type`` ('response' | 'revisit') and ``refers_to_epoch``
+    (the original capture's epoch; equals ``epoch`` for responses, so
+    the column is total and the payload-bytes-saved rollup is
+    ``sum(length where record_type = 'revisit')``).
+
+    Scale shape: ONE window over ``(url_id, digest)`` ordered by epoch
+    — a single shuffle co-partitioned with every other per-url rollup
+    in this module; with the fetch log bucketed by url_hash (the
+    frontier's bucketing) it is shuffle-free.  No state, no driver
+    participation, trivially incremental per crawl batch.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col, digest_col)
+    first_epoch = F.min(epoch_col).over(w)
+    return fetches.select(
+        "*",
+        F.when(F.col(epoch_col) == first_epoch, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        first_epoch.alias("refers_to_epoch"),
+    )
+
+
 def recrawl_priority(
     history: DataFrame,
     now_epoch: int,
