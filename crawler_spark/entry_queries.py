@@ -1023,6 +1023,22 @@ def q_dup_substrings(spark, sf_dir):
     )
 
 
+def q_substring_scrub(spark, sf_dir):
+    """The production END of exact-substring dedup (dedup.
+    substring_scrub_spans): for every doc verbatim-overlapping a
+    lower-id doc (same qualification as dup_substrings: >=5 shared
+    winnow-selected 20-gram fingerprints, max_df=200 stop-fp cap), emit
+    the merged char spans to cut from the HIGHER-id copy — Lee et al.
+    2021's remove-all-but-one-copy policy as a relational plan.  Runs
+    the linear mod-2^64 Arrow kernel with positions (textops.
+    winnow_picks_pos); the oracle recomputes hash, selection,
+    positions, pair qualification, and the interval merge in SQL."""
+    return dedup.substring_scrub_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        k=20, w=4, min_shared=5, max_df=200,
+    )
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing counts, ORACLE TWIN: pure DataFrame ops with md5-slice
     hashes so the DuckDB window-function oracle reproduces every pick.
@@ -1305,6 +1321,7 @@ QUERIES = {
     "sitemap_parse": q_sitemap_parse,
     "trap_detect": q_trap_detect,
     "dup_substrings": q_dup_substrings,
+    "substring_scrub": q_substring_scrub,
     "bigram_lm": q_bigram_lm,
     "quality_classifier": q_quality_classifier,
     "stratified_sample": q_stratified_sample,
@@ -1660,6 +1677,80 @@ select cast(a.doc as bigint) as doc_a,
        cast(count(*) as bigint) as n_shared
 from capped a join capped b on a.fp = b.fp and a.doc < b.doc
 group by 1, 2 having count(*) >= {min_shared}
+"""
+
+
+def _substring_scrub_oracle(
+    k: int = 20, w: int = 4, min_shared: int = 5, max_df: int = 200
+) -> str:
+    """DuckDB twin of q_substring_scrub: the _dup_substrings_oracle
+    machinery extended with positions — distinct selected (doc, pos,
+    fp), pair qualification on capped fps, the union of shared-fp
+    positions per higher-id doc, and the gaps-and-islands interval
+    merge (break when pos exceeds the running max end)."""
+    B, M = 131, 1 << 64
+    pows = [pow(B, k - 1 - j, M) for j in range(k)]
+    hexpr = " + ".join(
+        f"cast(unicode(substr(lower(text), i + {j}, 1)) as hugeint) * {pows[j]}"
+        for j in range(k)
+    )
+    return f"""
+with g as (
+  select doc_id as doc, i, ({hexpr}) % {M} as h
+  from (select doc_id, text, unnest(generate_series(1, length(text) - {k} + 1)) as i
+        from documents where length(text) >= {k})
+),
+wins as (
+  select doc, i,
+         min({{'h': h, 'p': i}}) over (
+           partition by doc order by i
+           rows between current row and {w - 1} following) as pick,
+         count(*) over (partition by doc) as nh
+  from g
+),
+pp as (
+  select distinct doc, pick.p as j, pick.h as ph
+  from wins where i <= greatest(nh - {w} + 1, 1)
+),
+vals as (select distinct doc, ph from pp),
+capped as (
+  select doc, ph from vals
+  where ph in (select ph from vals group by ph having count(*) <= {max_df})
+),
+pairs as (
+  select a.doc as da, b.doc as db
+  from capped a join capped b on a.ph = b.ph and a.doc < b.doc
+  group by 1, 2 having count(*) >= {min_shared}
+),
+dupfp as (
+  select distinct p.db as doc, va.ph
+  from pairs p
+  join capped va on va.doc = p.da
+  join capped vb on vb.doc = p.db and vb.ph = va.ph
+),
+pos as (
+  select distinct pp.doc, pp.j
+  from pp join dupfp d on d.doc = pp.doc and d.ph = pp.ph
+),
+isl as (
+  select doc, j,
+         case when j > max(j + {k}) over (
+                partition by doc order by j
+                rows between unbounded preceding and 1 preceding)
+              then 1 else 0 end as brk
+  from pos
+),
+num as (
+  select doc, j,
+         sum(brk) over (partition by doc order by j rows unbounded preceding)
+           as isl
+  from isl
+)
+select cast(doc as bigint) as doc_id,
+       cast(min(j) as bigint) as span_start,
+       cast(max(j) + {k} as bigint) as span_end,
+       cast(count(*) as bigint) as n_fp
+from num group by doc, isl
 """
 
 
@@ -2550,6 +2641,7 @@ ORACLES = {
     "winnow_fingerprints": _winnow_oracle(k=5, w=4),
     "winnow_counts_prod": _winnow_prod_oracle(k=5, w=4),
     "dup_substrings": _dup_substrings_oracle(k=20, w=4, min_shared=5, max_df=200),
+    "substring_scrub": _substring_scrub_oracle(k=20, w=4, min_shared=5, max_df=200),
     "audio_resample": """
         -- payload closed-form in doc_id: sr = 8000 + (doc_id%5)*2000,
         -- ns = 1000 + doc_id%500; resample to 16 kHz rescales

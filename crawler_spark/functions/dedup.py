@@ -611,6 +611,133 @@ def contaminated_docs(
     )
 
 
+def substring_scrub_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """The production END of exact-substring dedup (Lee et al. 2021
+    remove each duplicated span, keeping one copy): emit the char spans
+    to CUT from every doc that verbatim-overlaps a lower-id doc.
+
+    Keep-first policy: for every qualified dup pair (a < b), doc b's
+    copy of the shared material is removed, doc a's is kept.  A doc's
+    cut set is the union over all its lower-id partners of the
+    positions of shared winnow fingerprints; each fingerprint witnesses
+    the interval ``[pos, pos + k)`` and overlapping/adjacent intervals
+    are merged into maximal spans (within a true shared substring the
+    winnow guarantee places a pick at least every ``w`` positions and
+    ``w < k``, so the covering intervals always chain).
+
+    Returns ``(id_col, span_start, span_end, n_fp)`` — 1-based char
+    offsets, end exclusive, n_fp = picks merged into the span.  Apply
+    with :func:`apply_scrub_spans`.
+
+    Scale shape: one linear Arrow fingerprint pass (textops.
+    winnow_picks_pos), the same capped inverted-index fp join as
+    dup_substring_pairs, then ONE window over (doc, pos) for the
+    interval merge — no text is shuffled, only (doc, fp, pos) triples.
+    """
+    from .textops import winnow_picks_pos
+
+    picks = winnow_picks_pos(df, id_col, text_col, k, w)
+    vals = picks.select(F.col(id_col).alias("doc"), "fp").distinct()
+    if max_df is not None:
+        keep = vals.groupBy("fp").agg(F.count("*").alias("df_")).where(
+            F.col("df_") <= max_df
+        )
+        vals = vals.join(keep.select("fp"), "fp")
+    a, b = vals.alias("a"), vals.alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    # fps doc b must scrub: shared with ANY qualified lower-id partner
+    dup_fps = (
+        pairs.join(vals.alias("va"), F.col("va.doc") == F.col("doc_a"))
+        .join(
+            vals.alias("vb"),
+            (F.col("vb.doc") == F.col("doc_b")) & (F.col("vb.fp") == F.col("va.fp")),
+        )
+        .select(F.col("doc_b").alias("doc"), F.col("vb.fp").alias("fp"))
+        .distinct()
+    )
+    pos = (
+        picks.select(F.col(id_col).alias("doc"), "fp", "pos")
+        .join(dup_fps, ["doc", "fp"])
+        .select("doc", "pos")
+        .distinct()
+    )
+    wo = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(F.col("pos") > prev_end, F.lit(1)).otherwise(F.lit(0))
+    islands = pos.withColumn(
+        "isl", F.sum(brk).over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count("*").alias("n_fp"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            F.col("n_fp").cast("long"),
+        )
+    )
+
+
+def apply_scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut the spans out of the text: docs with no spans pass through
+    unchanged; spans are removed right-to-left so earlier offsets stay
+    valid.  Built-in SQL only — the span list is aggregated per doc and
+    folded over the text with ``F.aggregate`` (sorted descending by
+    start), so the cut itself is whole-stage-codegen, not Python."""
+    agg = spans.groupBy(id_col).agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            )
+        ).alias("__spans")
+    )
+    cut = F.aggregate(
+        F.col("__spans"),
+        F.col(text_col),
+        lambda acc, s: F.concat(
+            acc.substr(F.lit(1).cast("int"), (s["span_start"] - 1).cast("int")),
+            acc.substr(
+                s["span_end"].cast("int"),
+                (F.length(acc) - s["span_end"] + 1).cast("int"),
+            ),
+        ),
+    )
+    return (
+        df.join(agg, id_col, "left")
+        .withColumn(
+            "scrubbed",
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(cut),
+        )
+        .drop("__spans")
+    )
+
+
 # ----------------------------------------------- shared-substring pairs
 def dup_substring_pairs(
     df: DataFrame,

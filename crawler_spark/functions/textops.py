@@ -490,6 +490,74 @@ def winnow_picks(
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def _winnow_picks_pos_vec64(s: str, k: int, w: int) -> "list[tuple[int, int]]":
+    """_winnow_picks_vec64 with positions: returns [(pos0, fp), ...]
+    where pos0 is the 0-based char offset of the selected k-gram
+    (strictly increasing — consecutive dedup on a non-decreasing argmin
+    sequence IS position-distinctness).  Same hash, same leftmost-argmin
+    tie-break, same int64 reinterpretation of the uint64 hash."""
+    import numpy as np
+
+    s = s.lower()
+    n = len(s)
+    if n < k:
+        return []
+    pows = np.array([pow(131, k - 1 - j, 1 << 64) for j in range(k)],
+                    dtype=np.uint64)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    with np.errstate(over="ignore"):
+        h = (win * pows).sum(axis=1, dtype=np.uint64)
+    L = len(h)
+    if L <= w:
+        p = int(np.argmin(h))
+        return [(p, int(h[p].astype(np.int64)))]
+    wv = np.lib.stride_tricks.sliding_window_view(h, w)
+    j = np.arange(L - w + 1) + wv.argmin(axis=1)  # argmin ties -> leftmost
+    keep = np.ones(len(j), dtype=bool)
+    keep[1:] = j[1:] != j[:-1]
+    jj = j[keep]
+    return list(zip(jj.tolist(), h[jj].astype(np.int64).tolist()))
+
+
+def winnow_picks_pos(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 12, w: int = 4,
+) -> DataFrame:
+    """Winnow picks WITH positions: ``(id_col, fp, pos)`` — pos is the
+    1-BASED char offset of the selected k-gram (matching the DuckDB
+    oracle's ``generate_series(1, ...)`` indexing).  Same linear
+    mod-2^64 Arrow kernel as :func:`winnow_picks`; the position column
+    is what turns pair mining into span *scrubbing* (the interval a
+    fingerprint witnesses is ``[pos, pos + k)``)."""
+    import pyspark.sql.types as T
+
+    id_field = df.schema[id_col]
+    schema = T.StructType([
+        id_field,
+        T.StructField("fp", T.LongType()),
+        T.StructField("pos", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            fps: list[int] = []
+            poss: list[int] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                for p, f in _winnow_picks_pos_vec64(t or "", k, w):
+                    ids.append(i)
+                    fps.append(f)
+                    poss.append(p + 1)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "fp": pd.Series(fps, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 def winnow_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 5, w: int = 4,
