@@ -1039,6 +1039,28 @@ def q_substring_scrub(spark, sf_dir):
     )
 
 
+def q_scrub_apply(spark, sf_dir):
+    """COMPOSED scrub chain: substring_scrub spans -> apply_scrub_spans
+    actually cuts the text -> per-doc length accounting for the
+    affected docs.  The oracle never performs string surgery — it
+    derives n_after as length(text) minus the summed span lengths
+    (spans are disjoint by construction after the interval merge), so a
+    hash match proves Spark's right-to-left fold cut exactly the
+    claimed spans and nothing else."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spans = dedup.substring_scrub_spans(docs, k=20, w=4, min_shared=5, max_df=200)
+    out = dedup.apply_scrub_spans(docs, spans)
+    return (
+        out.join(spans.select("doc_id").distinct(), "doc_id")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_before"),
+            F.length("scrubbed").cast("long").alias("n_after"),
+            (F.length("text") - F.length("scrubbed")).cast("long").alias("n_cut"),
+        )
+    )
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing counts, ORACLE TWIN: pure DataFrame ops with md5-slice
     hashes so the DuckDB window-function oracle reproduces every pick.
@@ -1322,6 +1344,7 @@ QUERIES = {
     "trap_detect": q_trap_detect,
     "dup_substrings": q_dup_substrings,
     "substring_scrub": q_substring_scrub,
+    "scrub_apply": q_scrub_apply,
     "bigram_lm": q_bigram_lm,
     "quality_classifier": q_quality_classifier,
     "stratified_sample": q_stratified_sample,
@@ -1751,6 +1774,24 @@ select cast(doc as bigint) as doc_id,
        cast(max(j) + {k} as bigint) as span_end,
        cast(count(*) as bigint) as n_fp
 from num group by doc, isl
+"""
+
+
+def _scrub_apply_oracle() -> str:
+    """Length accounting over the scrub spans — no string surgery: the
+    merged spans are disjoint, so n_after = length - sum(span widths)."""
+    inner = _substring_scrub_oracle(k=20, w=4, min_shared=5, max_df=200)
+    return f"""
+with spans as ({inner}),
+agg as (
+  select doc_id, sum(span_end - span_start) as n_cut
+  from spans group by doc_id
+)
+select d.doc_id,
+       cast(length(d.text) as bigint) as n_before,
+       cast(length(d.text) - a.n_cut as bigint) as n_after,
+       cast(a.n_cut as bigint) as n_cut
+from documents d join agg a on a.doc_id = d.doc_id
 """
 
 
@@ -2642,6 +2683,7 @@ ORACLES = {
     "winnow_counts_prod": _winnow_prod_oracle(k=5, w=4),
     "dup_substrings": _dup_substrings_oracle(k=20, w=4, min_shared=5, max_df=200),
     "substring_scrub": _substring_scrub_oracle(k=20, w=4, min_shared=5, max_df=200),
+    "scrub_apply": _scrub_apply_oracle(),
     "audio_resample": """
         -- payload closed-form in doc_id: sr = 8000 + (doc_id%5)*2000,
         -- ns = 1000 + doc_id%500; resample to 16 kHz rescales

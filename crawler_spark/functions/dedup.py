@@ -644,7 +644,13 @@ def substring_scrub_spans(
     """
     from .textops import winnow_picks_pos
 
-    picks = winnow_picks_pos(df, id_col, text_col, k, w)
+    # the picks frame feeds FIVE consumers (vals twice per side of the
+    # pair join, the dup-fp join, the position lookup); unpersisted,
+    # each consumer re-runs the Arrow fingerprint pass over the full
+    # corpus.  Same bounded-slot persistence as the minhash probe.
+    picks = _probe_persist(
+        winnow_picks_pos(df, id_col, text_col, k, w), "scrub_picks"
+    )
     vals = picks.select(F.col(id_col).alias("doc"), "fp").distinct()
     if max_df is not None:
         keep = vals.groupBy("fp").agg(F.count("*").alias("df_")).where(

@@ -158,6 +158,88 @@ def main() -> None:
         explain_str(QUERIES["shipping_priority"](spark, "/root/testdata/sf0.001")),
     ))
 
+    # 9. decontamination: broadcast probe, corpus never shuffled pre-join
+    sections.append((
+        "decontaminate (broadcast benchmark-shingle probe)",
+        "Witness: the corpus branch reaches the join with NO exchange —\n"
+        "FileScan → Generate (explode trigrams) → BroadcastHashJoin(BuildRight =\n"
+        "benchmark shingle set).  The corpus shingle stream is deliberately NOT\n"
+        "pre-deduplicated (`shingles(distinct=False)`): filter-then-distinct ≡\n"
+        "distinct-then-filter for the hit count, and the former moves the\n"
+        "(doc, shingle) dedup AFTER the probe, so the only exchanges in the plan\n"
+        "carry contaminated shingles only (partial distinct map-side first).\n"
+        "At 100 TB the corpus is streamed once; the benchmark set (an eval\n"
+        "suite, MB-scale) is the broadcast build side.",
+        explain_str(QUERIES["decontaminate"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    # 10. connected components (pointer jumping, checkpointed sweeps)
+    sections.append((
+        "dedup_clusters (connected components, pointer jumping)",
+        "Per sweep, three joins materialized by one eager localCheckpoint job:\n"
+        "edges⋈labels (groupBy dst min, map-side combine) for the neighbour\n"
+        "min, then labels self-joined on component for the pointer jump; the\n"
+        "convergence probe is `sum(component)` over the checkpointed partitions\n"
+        "(labels are monotone non-increasing, so an unchanged sum ⇔ fixed\n"
+        "point) — no comparison join, no recompute (the count reads materialized\n"
+        "partitions).  Sweeps are O(log diameter) by the doubling argument; the\n"
+        "contract graph (diameter ~8) converges in 4 sweeps:",
+        explain_str(QUERIES["dedup_clusters"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    # 11. blocklist: corpus-side shuffle-freedom
+    sections.append((
+        "blocklist_filter (domain suffix match, corpus never shuffled)",
+        "The 100 TB contract in hoststats.tag_blocked's docstring, witnessed:\n"
+        "the corpus side reaches the output tag through BroadcastHashJoins only\n"
+        "— the suffix explode (Generate over the higher-order suffix transform)\n"
+        "is scan-local, the blocklist sits on the build side of the LeftSemi,\n"
+        "and the only shuffle Exchange in the plan is the hash aggregate over\n"
+        "the (tiny, block-rate-bounded) matched-id set, which is then broadcast\n"
+        "back.  tests/test_blocklist.py::test_no_corpus_shuffle asserts this\n"
+        "shape on every run.",
+        explain_str(QUERIES["blocklist_filter"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    # 12. TPC-H Q5 shape
+    sections.append((
+        "regional_revenue (TPC-H Q5 shape)",
+        "Five-way join declared as plain `.join(...)`s: Catalyst puts region,\n"
+        "nation, supplier, and customer on broadcast build sides (the region\n"
+        "filter prunes the tree before any fact row moves) and AQE picks the\n"
+        "orders⋈lineitem strategy from runtime sizes.  Both fact scans carry\n"
+        "PushedFilters and pruned ReadSchema.",
+        explain_str(QUERIES["regional_revenue"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    # 13. incremental minhash probe (O(batch) signature work)
+    sections.append((
+        "dedup_incremental (LSH index probe, O(batch) signatures)",
+        "MUST: probe and index band rows meet in ONE hash join keyed on\n"
+        "(band, bsig) — no CartesianProduct; each side's 32-aggregate\n"
+        "signature plan appears ONCE (single posexplode banding, sizes\n"
+        "riding the band rows — a separate size aggregate or a union-arm\n"
+        "banding would re-evaluate the whole aggregate); exact-Jaccard\n"
+        "verification joins candidate pairs only.  At 100 TB the index\n"
+        "side is a persisted bucketed table: only the incoming batch is\n"
+        "shingled and hashed per snapshot.",
+        explain_str(QUERIES["dedup_incremental"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    # 14. substring scrub (positions kernel + interval merge)
+    sections.append((
+        "substring_scrub (winnow positions + gaps-and-islands merge)",
+        "MUST: the linear mod-2^64 Arrow fingerprint pass (MapInPandas —\n"
+        "never a per-row Python UDF) materializes ONCE: every consumer\n"
+        "reads an InMemoryTableScan of the persisted picks frame (the\n"
+        "MapInPandas text below repeats only inside the cached relation's\n"
+        "description); the pair-qualification join is the capped\n"
+        "inverted-index fp join (no all-pairs); the interval merge is ONE\n"
+        "window over (doc, pos) — only (doc, fp, pos) triples shuffle,\n"
+        "text bytes never do.",
+        explain_str(QUERIES["substring_scrub"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = ["# PLANS — formatted physical plans for the load-bearing shapes",
            "", "Generated by `python scripts/explain_plans.py`.", ""]
     for title, props, plan in sections:
