@@ -343,6 +343,15 @@ def minhash_probe_index(
         )
         .distinct()
     )
+    return _probe_verify_best(cands, sh_new, sh_old, id_col, threshold_micro)
+
+
+def _probe_verify_best(
+    cands: DataFrame, sh_new: DataFrame, sh_old: DataFrame,
+    id_col: str, threshold_micro: int,
+) -> DataFrame:
+    """Shared probe tail: exact-Jaccard verify on the candidate pairs,
+    then best match per incoming doc (max jac, ties -> min match_id)."""
     a, b = sh_new.alias("a"), sh_old.alias("b")
     inter = (
         cands.join(a, cands["doc_new"] == F.col("a.doc"))
@@ -372,6 +381,102 @@ def minhash_probe_index(
             F.col("doc_old").alias("match_id"),
             "jac_micro",
         )
+    )
+
+
+# ----------------------------------------- persisted LSH index lifecycle
+# The 100 TB lifecycle the probe's docstring promises, made concrete on
+# the catalog shim (Iceberg equivalent noted per step):
+#   1. minhash_build_index(corpus)   -> band rows (doc, sz, band, bsig,
+#      bsig_hash) — computed ONCE per corpus
+#   2. cat.commit_buckets(rows, tbl, "bsig_hash", B)  (reset commit; at
+#      scale: a bucket-partitioned Iceberg table)
+#   3. minhash_probe_prebuilt(cat.read(tbl), batch, corpus)  per
+#      snapshot — signature work O(batch); corpus TEXT is touched only
+#      for candidate-matched docs (semi-join before the shingle explode)
+#   4. minhash_index_append(survivor rows)  -> rewrites ONLY the buckets
+#      the new rows land in (Iceberg: MERGE/dynamic-partition overwrite)
+
+def minhash_build_index(
+    docs: DataFrame, id_col: str, text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """Band index rows for a corpus: ``(doc, sz, band, bsig,
+    bsig_hash)``.  ``bsig_hash`` = xxhash64(band, bsig) is the bucketing
+    key for Catalog.commit_buckets — equal band signatures land in the
+    same bucket, so a bucketed probe join is co-partitioned."""
+    sh = shingles(docs, id_col, text_col, n)
+    rows = lsh_bands(minhash_signatures(sh, with_size=True), extra_cols=("sz",))
+    return rows.withColumn("bsig_hash", F.xxhash64("band", "bsig"))
+
+
+def minhash_probe_prebuilt(
+    index_rows: DataFrame,
+    incoming: DataFrame,
+    indexed_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_micro: int = 500_000,
+) -> DataFrame:
+    """minhash_probe_index against a PREBUILT index (step 3 above):
+    ``index_rows`` is the stored band table (from minhash_build_index /
+    cat.read), so the corpus side pays NO signature work at probe time;
+    ``indexed_docs`` supplies text for the exact-Jaccard verify and is
+    semi-joined down to candidate-matched docs BEFORE the shingle
+    explode — O(matches), not O(corpus).  Same output contract as
+    minhash_probe_index (asserted equal in tests)."""
+    sh_new = _probe_persist(shingles(incoming, id_col, text_col, n), "new")
+    probe_rows = lsh_bands(
+        minhash_signatures(sh_new, with_size=True), extra_cols=("sz",)
+    )
+    cands = _probe_persist(
+        probe_rows.alias("p")
+        .join(index_rows.alias("x"), ["band", "bsig"])
+        .select(
+            F.col("p.doc").alias("doc_new"), F.col("x.doc").alias("doc_old"),
+            F.col("p.sz").alias("sz_a"), F.col("x.sz").alias("sz_b"),
+        )
+        .distinct(),
+        "cands",
+    )
+    matched_old = indexed_docs.join(
+        cands.select(F.col("doc_old").alias(id_col)).distinct(),
+        id_col,
+        "semi",
+    )
+    sh_old = shingles(matched_old, id_col, text_col, n)
+    return _probe_verify_best(cands, sh_new, sh_old, id_col, threshold_micro)
+
+
+def minhash_index_append(
+    spark,
+    cat,
+    table: str,
+    new_index_rows: DataFrame,
+    n_buckets: int = 32,
+) -> tuple[int, int]:
+    """Delta-append survivor band rows into the stored index (step 4):
+    only the buckets the new rows hash into are rewritten (existing
+    rows in those buckets are carried over; all other buckets keep
+    their files untouched).  The bucket-id collect is bounded by
+    n_buckets, never by row count.  Returns (snapshot_id, rows)."""
+    bcol = F.pmod(F.col("bsig_hash"), F.lit(n_buckets)).cast("int")
+    touched = sorted(
+        r.b for r in new_index_rows.select(bcol.alias("b")).distinct().collect()
+    )
+    if not touched:
+        return cat.current_snapshot_id(table), 0
+    existing = (
+        cat.read(spark, table)
+        .drop("_bucket")
+        .where(bcol.isin([int(b) for b in touched]))
+    )
+    return cat.commit_buckets(
+        existing.unionByName(new_index_rows),
+        table,
+        "bsig_hash",
+        n_buckets,
+        buckets=touched,
     )
 
 

@@ -45,6 +45,67 @@ def test_probe_never_pairs_corpus_with_itself(spark):
     assert dedup.minhash_probe_index(indexed, incoming, "doc_id").count() == 0
 
 
+def test_prebuilt_index_probe_matches_self_contained(spark, tmp_path):
+    """Build -> commit bucketed -> read -> probe == the self-contained
+    probe (same split, same corpus)."""
+    from crawler_spark.catalog import Catalog
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    indexed = _mk_docs(
+        spark,
+        [(1, base), (2, "completely unrelated words here zebra"),
+         (3, "another separate indexed document with its own text")],
+    )
+    incoming = _mk_docs(
+        spark,
+        [(10, base + " extra"), (11, "nothing shared with any indexed text")],
+    )
+    cat = Catalog(str(tmp_path / "wh"))
+    rows = dedup.minhash_build_index(indexed, "doc_id")
+    cat.commit_buckets(rows, "mh_index", "bsig_hash", 8)
+    stored = cat.read(spark, "mh_index").drop("_bucket")
+    got = sorted(
+        dedup.minhash_probe_prebuilt(stored, incoming, indexed, "doc_id").collect()
+    )
+    want = sorted(
+        dedup.minhash_probe_index(indexed, incoming, "doc_id").collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert got and got[0].doc_id == 10 and got[0].match_id == 1
+
+
+def test_index_append_rewrites_only_touched_buckets(spark, tmp_path):
+    from crawler_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    corpus = _mk_docs(
+        spark,
+        [(i, f"doc number {i} body alpha beta gamma delta {i} epsilon zeta")
+         for i in range(1, 9)],
+    )
+    cat.commit_buckets(
+        dedup.minhash_build_index(corpus, "doc_id"), "mh_index", "bsig_hash", 8
+    )
+    before = cat.read(spark, "mh_index").count()
+    survivor = _mk_docs(spark, [(100, "a brand new surviving document text here")])
+    new_rows = dedup.minhash_build_index(survivor, "doc_id")
+    n_new = new_rows.count()
+    snap, _ = dedup.minhash_index_append(spark, cat, "mh_index", new_rows, 8)
+    last = cat.snapshots("mh_index")[-1]
+    assert last["id"] == snap and not last["reset"]
+    assert 0 < len(last["buckets"]) < 8  # partial rewrite, not the table
+    after = cat.read(spark, "mh_index")
+    assert after.count() == before + n_new
+    # the appended doc is now probe-visible
+    dup = _mk_docs(spark, [(200, "a brand new surviving document text here")])
+    allc = corpus.union(survivor)
+    hit = dedup.minhash_probe_prebuilt(
+        after.drop("_bucket"), dup, allc, "doc_id"
+    ).collect()
+    assert len(hit) == 1 and hit[0].match_id == 100
+    assert hit[0].jac_micro == 1_000_000
+
+
 def test_revisit_records_classification(spark):
     fetches = spark.createDataFrame(
         [
