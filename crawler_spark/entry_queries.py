@@ -212,6 +212,50 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan, the aggregate is a single map-side-combined global sum with
+    no grouping shuffle at all.  Revenue in per-row floor cents (int64)
+    so the sum is bit-exact across engines."""
+    li = _li(spark, sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+        ).alias("revenue_cents"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS as a LEFT SEMI join with a cross-table
+    predicate (a lineitem of the order shipped AFTER the order date),
+    then a tiny grouped count by priority.  The semi join never
+    duplicates order rows (no post-join distinct needed) and the fact
+    side carries the pushed date filter."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("2000-01-01"))
+        & (F.col("o_orderdate") < F.lit("2000-10-01"))
+    )
+    li = _li(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
 def q_regional_revenue(spark, sf_dir):
     """TPC-H Q5 shape: five-way join — two big facts (lineitem,
     orders) plus four dimensions — with the region filter pushed
@@ -1312,6 +1356,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
+    "forecast_revenue": q_forecast_revenue,
+    "priority_check": q_priority_check,
     "json_extract": q_json_extract,
     "source_rollup": q_source_rollup,
     "text_quality": q_text_quality,
@@ -1882,6 +1928,28 @@ ORACLES = {
         from lineitem
         where l_shipdate <= timestamp '2001-06-01'
         group by l_returnflag, l_linestatus
+    """,
+    "forecast_revenue": """
+        select cast(sum(cast(floor(l_extendedprice * l_discount * 100) as bigint))
+                 as bigint) as revenue_cents,
+               count(*) as n_items
+        from lineitem
+        where l_shipdate >= timestamp '2000-01-01'
+          and l_shipdate <  timestamp '2001-01-01'
+          and l_discount >= 0.02 and l_discount <= 0.06
+          and l_quantity < 24
+    """,
+    "priority_check": """
+        select o_orderpriority, count(*) as order_count
+        from orders o
+        where o.o_orderdate >= timestamp '2000-01-01'
+          and o.o_orderdate <  timestamp '2000-10-01'
+          and exists (
+            select 1 from lineitem l
+            where l.l_orderkey = o.o_orderkey
+              and l.l_shipdate > o.o_orderdate
+          )
+        group by o_orderpriority
     """,
     "shipping_priority": """
         select o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') as orderdate,
