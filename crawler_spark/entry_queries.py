@@ -787,6 +787,57 @@ def q_revisit_records(spark, sf_dir):
     )
 
 
+def q_revisit_stream(spark, sf_dir):
+    """Streaming CORRECTNESS row for revisit classification: the SAME
+    3-epoch fetch log as q_revisit_records, written as one parquet file
+    per epoch and ingested one micro-batch per file (exactly how a
+    recrawl pipeline tails crawl snapshots) through the
+    applyInPandasWithState twin (streaming.revisit_stream).  Shares
+    q_revisit_records' DuckDB oracle verbatim — cross-batch state must
+    reproduce the batch window kernel row-for-row to hash-match."""
+    import shutil
+
+    from .streaming import revisit_stream, run_to_memory
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    f0 = docs.select(
+        F.col("doc_id").alias("url_id"),
+        "text",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch"),
+    )
+    v = (
+        F.when((F.col("url_id") % 5 == 2) & (F.col("epoch") == 2), F.lit(0))
+        .otherwise(
+            ((F.col("epoch") >= 1) & (F.col("url_id") % 3 == 0)).cast("int")
+            + ((F.col("epoch") == 2) & (F.col("url_id") % 4 == 1)).cast("int")
+        )
+    )
+    fetches = f0.select(
+        "url_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.md5(F.concat(F.col("text"), F.lit("#"), v.cast("string"))).alias("digest"),
+    )
+    src = f"/tmp/spark_graft_revisit_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(src, ignore_errors=True)
+    for e in range(3):  # one crawl snapshot per file, epoch-ordered names
+        fetches.where(F.col("epoch") == e).coalesce(1).write.parquet(
+            f"{src}/epoch{e}"
+        )
+    stream = (
+        spark.readStream.schema("url_id long, epoch long, digest string")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "revisit_stream_sink"
+    spark.catalog.dropTempView(name)  # stale sink from a previous run
+    return run_to_memory(revisit_stream(stream), name, mode="update").select(
+        "url_id", "epoch", "digest", "record_type",
+        F.col("refers_to_epoch").cast("long").alias("refers_to_epoch"),
+    )
+
+
 def q_cdx_index(spark, sf_dir):
     """CDX-style archive index (urlnorm.surt_col): urls are synthesized
     with mixed-case host + fragment so the row exercises the full
@@ -1375,6 +1426,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "snapshot_diff": q_snapshot_diff,
     "revisit_records": q_revisit_records,
+    "revisit_stream": q_revisit_stream,
     "cdx_index": q_cdx_index,
     "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
@@ -2811,3 +2863,7 @@ ORACLES = {
         from hs
     """,
 }
+
+# The streaming revisit twin must reproduce the batch kernel
+# row-for-row — it shares the batch row's oracle verbatim.
+ORACLES["revisit_stream"] = ORACLES["revisit_records"]

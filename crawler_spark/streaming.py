@@ -179,6 +179,61 @@ def dedup_stream(
     )
 
 
+def revisit_stream(
+    fetches_stream: DataFrame,
+    key_col: str = "url_id",
+    digest_col: str = "digest",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Streaming WARC revisit classification — the incremental twin of
+    functions/snapshots.revisit_records: state per (url, digest) holds
+    the first capture epoch; the first arrival is a ``response``, every
+    later identical fetch a ``revisit`` pointing at it.  When batches
+    arrive epoch-ordered (one crawl snapshot per micro-batch, which is
+    exactly how a recrawl pipeline ingests), first-arrival == min-epoch,
+    so the streaming output equals the batch kernel row-for-row — the
+    equivalence test asserts it.
+
+    Production notes: state is one long per DISTINCT (url, digest) —
+    the same cardinality the batch kernel shuffles — and is the natural
+    fit for event-time timeout eviction when the archive's revisit
+    window is bounded (the WARC spec allows capping how far back a
+    revisit may refer)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, {epoch_col} long, {digest_col} string, "
+        "record_type string, refers_to_epoch long"
+    )
+    state_schema = "first_epoch long"
+
+    def fn(key, pdfs, state: GroupState):
+        first = state.get[0] if state.exists else None
+        epochs: list[int] = []
+        for pdf in pdfs:
+            epochs.extend(int(e) for e in pdf[epoch_col])
+        if not epochs:
+            return
+        epochs.sort()
+        if first is None:
+            first = epochs[0]
+        state.update((first,))
+        yield pd.DataFrame({
+            key_col: [key[0]] * len(epochs),
+            epoch_col: epochs,
+            digest_col: [key[1]] * len(epochs),
+            "record_type": [
+                "response" if e == first else "revisit" for e in epochs
+            ],
+            "refers_to_epoch": [first] * len(epochs),
+        })
+
+    return fetches_stream.groupBy(key_col, digest_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, timeout_sec: float = 120.0,
     mode: str | None = None,
