@@ -861,6 +861,24 @@ def q_cdx_index(spark, sf_dir):
     )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """The pipeline's reporting rollup: one map-side-combined groupBy
+    per (lang, source) cell producing docs, exact-distinct fingerprints
+    (duplication rate input), token totals, and length extremes — the
+    dashboard row every corpus release ships with.  countDistinct is
+    the exact two-phase partial aggregate; at 10^10 docs swap
+    approx_count_distinct (documented, same call site)."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(textops.fingerprint_md5(F.col("text"))).alias("n_distinct_fp"),
+        F.sum(textops.token_count_ws(F.col("text")).cast("long")).alias("n_tokens_ws"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
 def q_length_quantiles(spark, sf_dir):
     """Grouped EXACT quantiles (p50/p90/p99 of doc length per source)
     via rank-pick — value at position ceil(q*n) of the sorted group, so
@@ -1428,6 +1446,7 @@ QUERIES = {
     "revisit_records": q_revisit_records,
     "revisit_stream": q_revisit_stream,
     "cdx_index": q_cdx_index,
+    "corpus_stats": q_corpus_stats,
     "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
     "recrawl_priority": q_recrawl_priority,
@@ -2867,3 +2886,18 @@ ORACLES = {
 # The streaming revisit twin must reproduce the batch kernel
 # row-for-row — it shares the batch row's oracle verbatim.
 ORACLES["revisit_stream"] = ORACLES["revisit_records"]
+
+# Reporting rollup: exact distinct via DuckDB's native count(distinct);
+# the fingerprint and ws-token kernels are the shared normalized forms.
+ORACLES["corpus_stats"] = r"""
+    select lang, source,
+           count(*) as n_docs,
+           cast(count(distinct md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+             as bigint) as n_distinct_fp,
+           cast(sum(len(string_split_regex(text, '\s+'))) as bigint) as n_tokens_ws,
+           cast(sum(n_chars) as bigint) as n_chars,
+           cast(min(n_chars) as bigint) as min_chars,
+           cast(max(n_chars) as bigint) as max_chars
+    from documents
+    group by lang, source
+"""
