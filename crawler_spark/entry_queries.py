@@ -861,6 +861,16 @@ def q_cdx_index(spark, sf_dir):
     )
 
 
+def q_lang_id_lm(spark, sf_dir):
+    """Competitive per-language bigram-LM language ID (textops.
+    lang_id_lm): self-trained on the documents table's lang labels,
+    every doc scored under every language's model, argmax predicted.
+    Integer micro-probability arithmetic throughout, so the DuckDB
+    oracle reproduces train, score, and the winner pick bit-exactly."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return textops.lang_id_lm(docs, docs)
+
+
 def q_corpus_stats(spark, sf_dir):
     """The pipeline's reporting rollup: one map-side-combined groupBy
     per (lang, source) cell producing docs, exact-distinct fingerprints
@@ -1447,6 +1457,7 @@ QUERIES = {
     "revisit_stream": q_revisit_stream,
     "cdx_index": q_cdx_index,
     "corpus_stats": q_corpus_stats,
+    "lang_id_lm": q_lang_id_lm,
     "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
     "recrawl_priority": q_recrawl_priority,
@@ -2900,4 +2911,42 @@ ORACLES["corpus_stats"] = r"""
            cast(max(n_chars) as bigint) as max_chars
     from documents
     group by lang, source
+"""
+
+# Competitive bigram-LM language ID: train/score/argmax replicated in
+# SQL with the identical integer floor arithmetic and tie-break.
+ORACLES["lang_id_lm"] = r"""
+    with toks as (
+      select doc_id, lang, string_split_regex(lower(text), '\s+') as t
+      from documents
+    ),
+    big as (
+      select doc_id, lang, t[i] as w1, t[i+1] as w2
+      from toks, unnest(generate_series(1, len(t) - 1)) as u(i)
+      where len(t) >= 2
+    ),
+    c2 as (select lang, w1, w2, count(*) as c2 from big group by 1, 2, 3),
+    c1 as (select lang, w1, sum(c2) as c1 from c2 group by 1, 2),
+    model as (
+      select c2.lang as mlang, c2.w1, c2.w2,
+             cast(floor(c2.c2 * 1000000.0 / c1.c1) as bigint) as p_micro
+      from c2 join c1 on c1.lang = c2.lang and c1.w1 = c2.w1
+    ),
+    nb as (select doc_id, count(*) as n_bigrams from big group by 1),
+    per_lang as (
+      select b.doc_id, m.mlang, sum(m.p_micro) as sum_p
+      from big b join model m on m.w1 = b.w1 and m.w2 = b.w2
+      group by 1, 2
+    ),
+    scored as (
+      select p.doc_id, p.mlang,
+             cast(floor(p.sum_p * 1.0 / nb.n_bigrams) as bigint) as score_micro,
+             cast(nb.n_bigrams as bigint) as n_bigrams
+      from per_lang p join nb on nb.doc_id = p.doc_id
+    )
+    select doc_id, mlang as pred_lang, score_micro, n_bigrams from (
+      select *, row_number() over (
+        partition by doc_id order by score_micro desc, mlang asc) as rn
+      from scored
+    ) where rn = 1
 """

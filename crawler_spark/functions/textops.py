@@ -801,6 +801,84 @@ def bigram_lm_scores(
     )
 
 
+def lang_id_lm(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Competitive per-language bigram-LM language ID (the langid.py /
+    CLD model shape, integer-exact): train one word-bigram model per
+    language from lang-labeled ``train`` docs (c(lang,w1,w2) /
+    c(lang,w1,·) as shuffle aggs), score every ``score`` doc under
+    EVERY language's model, and predict the argmax.
+
+        per-bigram   p_micro(lang) = floor(1e6 * c2 / c1)
+        per-doc/lang score_micro   = floor(sum(matched p_micro) / n_bigrams)
+        prediction  = max score, ties -> lexicographically first lang
+
+    A bigram absent from a language's model contributes 0 — the
+    n_bigrams denominator is the doc's FULL bigram count, so coverage
+    and probability both pull the score (a model matching 3 of 100
+    bigrams cannot win on 3 lucky hits).  All arithmetic is integer
+    floor — bit-identical across engines.
+
+    Scale shape: one (lang,w1,w2) shuffle to train; scoring joins the
+    corpus bigram stream against the model keyed (w1,w2) — fan-out
+    bounded by the number of languages sharing a bigram; per-doc
+    winner is a window over n_langs rows.  Production trains on a
+    held-out labeled set (pass it as ``train``); the contract query
+    self-trains, which is the honest in-corpus shape.
+
+    Returns ``(id_col, pred_lang, score_micro, n_bigrams)`` for every
+    scored doc with >= 1 bigram.
+    """
+    def bigrams(df: DataFrame, *extra: str) -> DataFrame:
+        words = F.split(F.lower(F.col(text_col)), r"\s+")
+        n = F.size(words)
+        pairs = F.arrays_zip(
+            F.slice(words, 1, n - 1).alias("w1"), F.slice(words, 2, n - 1).alias("w2")
+        )
+        return df.select(
+            *extra, F.explode(pairs).alias("p")
+        ).select(*extra, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    c2 = bigrams(train, lang_col).groupBy(lang_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    c1 = c2.groupBy(lang_col, "w1").agg(F.sum("c2").alias("c1"))
+    model = c2.join(c1, [lang_col, "w1"]).select(
+        F.col(lang_col).alias("__mlang"), "w1", "w2",
+        F.floor(F.col("c2") * 1_000_000 / F.col("c1")).cast("long").alias("p_micro"),
+    )
+    sb = bigrams(score.withColumnRenamed(id_col, "__doc"), "__doc")
+    nb = sb.groupBy("__doc").agg(F.count(F.lit(1)).alias("n_bigrams"))
+    per_lang = (
+        sb.join(model, ["w1", "w2"])
+        .groupBy("__doc", "__mlang")
+        .agg(F.sum("p_micro").alias("sum_p"))
+        .join(nb, "__doc")
+        .withColumn(
+            "score_micro",
+            F.floor(F.col("sum_p") / F.col("n_bigrams")).cast("long"),
+        )
+    )
+    w = Window.partitionBy("__doc").orderBy(
+        F.col("score_micro").desc(), F.col("__mlang").asc()
+    )
+    return (
+        per_lang.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("__mlang").alias("pred_lang"),
+            "score_micro",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        )
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     text_col: str = "text",

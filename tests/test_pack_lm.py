@@ -52,3 +52,54 @@ def test_bigram_lm_scores_closed_form(spark):
     assert got[1]["lm_score_micro"] == (3 * 1_000_000 + 2 * 666_666) // 5
     assert got[2]["n_bigrams"] == 1
     assert got[2]["lm_score_micro"] == 333_333
+
+
+def test_lang_id_lm_predicts_planted_languages(spark):
+    from crawler_spark.functions import textops
+
+    train = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the dog sat on the rug", "en"),
+            (3, "le chat dort sur le tapis", "fr"),
+            (4, "le chien dort sur le lit", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    score = spark.createDataFrame(
+        [
+            (10, "the cat sat on the rug"),
+            (11, "le chat dort sur le lit"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.lang_id_lm(train, score).collect()}
+    assert got[10].pred_lang == "en"
+    assert got[11].pred_lang == "fr"
+    assert got[10].n_bigrams == 5 and got[11].n_bigrams == 5
+    # zero cross-language vocabulary -> the losing model never scores;
+    # each winner's score is the mean of its matched micro-probs
+    assert 0 < got[10].score_micro <= 1_000_000
+
+
+def test_lang_id_lm_coverage_beats_lucky_hits(spark):
+    """A model matching 1 of many bigrams with p=1.0 must lose to a
+    model matching all bigrams at moderate p: n_bigrams is the
+    denominator for every language."""
+    from crawler_spark.functions import textops
+
+    train = spark.createDataFrame(
+        [
+            # lang A: exactly one bigram of the test doc, deterministic (p=1)
+            (1, "alpha beta", "A"),
+            # lang B: all of the test doc's vocabulary, twice for spread
+            (2, "alpha beta gamma delta epsilon", "B"),
+            (3, "alpha gamma beta delta epsilon", "B"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    score = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = textops.lang_id_lm(train, score).collect()[0]
+    assert got.pred_lang == "B"
