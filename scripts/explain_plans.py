@@ -240,6 +240,18 @@ def main() -> None:
         explain_str(QUERIES["substring_scrub"](spark, "/root/testdata/sf0.001")),
     ))
 
+    # 15. competitive LM language ID (train + score + argmax window)
+    sections.append((
+        "lang_id_lm (per-language bigram LM, train/score/argmax)",
+        "MUST: fully JVM-side (no Python stage anywhere — the bigram\n"
+        "explode is arrays_zip/slice codegen); ONE (lang,w1,w2) shuffle\n"
+        "trains all language models together (no per-language pass); the\n"
+        "scoring join keys (w1,w2) with fan-out bounded by\n"
+        "langs-per-bigram; the winner pick is a per-doc window over\n"
+        "n_langs rows, never a global sort.",
+        explain_str(QUERIES["lang_id_lm"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = ["# PLANS — formatted physical plans for the load-bearing shapes",
            "", "Generated by `python scripts/explain_plans.py`.", ""]
     for title, props, plan in sections:
