@@ -871,6 +871,25 @@ def q_lang_id_lm(spark, sf_dir):
     return textops.lang_id_lm(docs, docs)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The remaining Gopher §A1.1 document rules (textops.
+    gopher_quality) over line-synthesized text (newline every 8 words,
+    the q_line_dedup trick) with planted structure so every rule fires:
+    doc_id%7==0 gets a leading bullet line, doc_id%11==0 an
+    ellipsis-terminated last line.  All five metrics + keep in micro
+    fixed point; closed-form oracle recomputes each from the same
+    synthesized text."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lined = F.regexp_replace(F.col("text"), r"((\S+ ){8})", "$1\n")
+    with_bullet = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit("- "), lined)
+    ).otherwise(lined)
+    synth = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(with_bullet, F.lit("\nthe end..."))
+    ).otherwise(with_bullet)
+    return textops.gopher_quality(docs.select("doc_id", synth.alias("text")))
+
+
 def q_corpus_stats(spark, sf_dir):
     """The pipeline's reporting rollup: one map-side-combined groupBy
     per (lang, source) cell producing docs, exact-distinct fingerprints
@@ -1457,6 +1476,7 @@ QUERIES = {
     "revisit_stream": q_revisit_stream,
     "cdx_index": q_cdx_index,
     "corpus_stats": q_corpus_stats,
+    "gopher_rules": q_gopher_rules,
     "lang_id_lm": q_lang_id_lm,
     "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
@@ -2949,4 +2969,53 @@ ORACLES["lang_id_lm"] = r"""
         partition by doc_id order by score_micro desc, mlang asc) as rn
       from scored
     ) where rn = 1
+"""
+
+# Gopher document rules over the identical synthesized text; every
+# metric recomputed closed-form with the same integer floors.
+ORACLES["gopher_rules"] = r"""
+    with synth as (
+      select doc_id,
+             case when doc_id % 11 = 0
+                  then b || chr(10) || 'the end...'
+                  else b end as text
+      from (
+        select doc_id,
+               case when doc_id % 7 = 0 then '- ' || l else l end as b
+        from (
+          select doc_id,
+                 regexp_replace(text, '((\S+ ){8})', '\1' || chr(10), 'g') as l
+          from documents
+        )
+      )
+    ),
+    m as (
+      select doc_id,
+             string_split_regex(text, '\s+') as toks,
+             string_split(text, chr(10)) as lines,
+             length(regexp_replace(text, '\s', '', 'g')) as nonws,
+             len(regexp_extract_all(text, '#|\.\.\.')) as syms
+      from synth
+    ),
+    f as (
+      select doc_id,
+             len(toks) as nt, len(lines) as nl, nonws, syms,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) as alpha,
+             len(list_filter(lines, x -> starts_with(x, '- '))) as bullets,
+             len(list_filter(lines, x -> x like '%...')) as ellip
+      from m
+    )
+    select doc_id,
+           cast(case when nt > 0 then floor(nonws * 1000000.0 / nt) else 0 end as bigint) as mean_word_len_micro,
+           cast(case when nt > 0 then floor(alpha * 1000000.0 / nt) else 0 end as bigint) as alpha_word_frac_micro,
+           cast(case when nt > 0 then floor(syms * 1000000.0 / nt) else 0 end as bigint) as symbol_ratio_micro,
+           cast(case when nl > 0 then floor(bullets * 1000000.0 / nl) else 0 end as bigint) as bullet_frac_micro,
+           cast(case when nl > 0 then floor(ellip * 1000000.0 / nl) else 0 end as bigint) as ellipsis_frac_micro,
+           (case when nt > 0 then floor(nonws * 1000000.0 / nt) else 0 end between 3000000 and 10000000)
+           and (case when nt > 0 then floor(alpha * 1000000.0 / nt) else 0 end >= 800000)
+           and (case when nt > 0 then floor(syms * 1000000.0 / nt) else 0 end <= 100000)
+           and (case when nl > 0 then floor(bullets * 1000000.0 / nl) else 0 end <= 900000)
+           and (case when nl > 0 then floor(ellip * 1000000.0 / nl) else 0 end <= 300000)
+             as keep
+    from f
 """

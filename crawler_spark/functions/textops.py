@@ -101,6 +101,58 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """The remaining Gopher document-quality rules (Rae et al. 2021
+    §A1.1) beyond quality_features/repetition_scores, in integer micro
+    fixed point — all codegen, all oracle-checkable:
+
+      mean_word_len_micro   non-whitespace chars / words; keep 3..10
+      alpha_word_frac_micro words containing an [A-Za-z]; keep >= 0.80
+      symbol_ratio_micro    '#' or '...' occurrences / words; keep <= 0.10
+      bullet_frac_micro     lines starting '- '; keep <= 0.90
+      ellipsis_frac_micro   lines ending '...'; keep <= 0.30
+
+    ``keep`` is the conjunction.  One scan, zero shuffles: every metric
+    is a per-row expression over split arrays (higher-order filters stay
+    in whole-stage codegen)."""
+    t = F.col(text_col)
+    toks = F.split(t, r"\s+")
+    nt = F.size(toks)
+    lines = F.split(t, "\n")
+    nl = F.size(lines)
+    nonws = F.length(F.regexp_replace(t, r"\s", ""))
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    syms = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0)))
+    bullets = F.size(F.filter(lines, lambda x: x.startswith("- ")))
+    ellip = F.size(F.filter(lines, lambda x: x.endswith("...")))
+
+    def frac(num, den):
+        return (
+            F.when(den > 0, F.floor(num * 1_000_000 / den))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    out = df.select(
+        F.col(id_col),
+        frac(nonws, nt).alias("mean_word_len_micro"),
+        frac(alpha, nt).alias("alpha_word_frac_micro"),
+        frac(syms, nt).alias("symbol_ratio_micro"),
+        frac(bullets, nl).alias("bullet_frac_micro"),
+        frac(ellip, nl).alias("ellipsis_frac_micro"),
+    )
+    keep = (
+        F.col("mean_word_len_micro").between(3_000_000, 10_000_000)
+        & (F.col("alpha_word_frac_micro") >= 800_000)
+        & (F.col("symbol_ratio_micro") <= 100_000)
+        & (F.col("bullet_frac_micro") <= 900_000)
+        & (F.col("ellipsis_frac_micro") <= 300_000)
+    )
+    return out.withColumn("keep", keep)
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -103,3 +103,26 @@ def test_lang_id_lm_coverage_beats_lucky_hits(spark):
     )
     got = textops.lang_id_lm(train, score).collect()[0]
     assert got.pred_lang == "B"
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    from crawler_spark.functions import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "normal sensible english words written here nicely"),
+            (2, "## ### # ...... # ... # word"),          # symbol ratio
+            (3, "12 34 56 78 90 11 22 33"),               # no alpha words
+            (4, "- one\n- two\n- three"),                 # all bullets
+            (5, "end one...\nend two...\nplain line"),    # 2/3 ellipsis
+            (6, "a b c d e f g h i j"),                   # mean word len 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.gopher_quality(docs).collect()}
+    assert got[1].keep
+    assert not got[2].keep and got[2].symbol_ratio_micro > 100_000
+    assert not got[3].keep and got[3].alpha_word_frac_micro == 0
+    assert not got[4].keep and got[4].bullet_frac_micro == 1_000_000
+    assert not got[5].keep and got[5].ellipsis_frac_micro == 666_666
+    assert not got[6].keep and got[6].mean_word_len_micro == 1_000_000
