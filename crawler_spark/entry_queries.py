@@ -871,6 +871,28 @@ def q_lang_id_lm(spark, sf_dir):
     return textops.lang_id_lm(docs, docs)
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL export/import round trip — the training-data interchange
+    format.  Spark-first: the built-in JSON source IS the operator
+    (DataFrameWriter.json writes one object per line; gzip codec per
+    file, splittable at the file level — at 100 TB you shard by
+    bucketed repartition before the write, exactly like the WARC sink).
+    The read-back uses an explicit schema (a 100 TB read must never pay
+    a schema-inference pass).  Oracle = the same projection straight
+    from parquet — a hash match proves unicode/escape round-tripping is
+    lossless for real webtext."""
+    import shutil
+
+    out = f"/tmp/spark_graft_jsonl_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(8, "doc_id").write.option("compression", "gzip").json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out)
+    return back
+
+
 def q_gopher_rules(spark, sf_dir):
     """The remaining Gopher §A1.1 document rules (textops.
     gopher_quality) over line-synthesized text (newline every 8 words,
@@ -1477,6 +1499,7 @@ QUERIES = {
     "cdx_index": q_cdx_index,
     "corpus_stats": q_corpus_stats,
     "gopher_rules": q_gopher_rules,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_id_lm": q_lang_id_lm,
     "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
@@ -3018,4 +3041,9 @@ ORACLES["gopher_rules"] = r"""
            and (case when nl > 0 then floor(ellip * 1000000.0 / nl) else 0 end <= 300000)
              as keep
     from f
+"""
+
+# Round trip is lossless iff this projection matches the parquet source.
+ORACLES["jsonl_roundtrip"] = """
+    select doc_id, text, lang, source, n_chars from documents
 """
