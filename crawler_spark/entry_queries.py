@@ -1139,6 +1139,23 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment pairs (dedup.ngram_containment_pairs):
+    docs whose shingle set is >=80% contained in another doc's — the
+    quote/aggregator/mirror relationship symmetric Jaccard structurally
+    under-scores.  A truncated twin is planted (doc_id%9==0 contributes
+    its first 8 words under id+20000) so genuine subset-duplication
+    exists at contract scale."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    stub = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
+    )
+    return dedup.ngram_containment_pairs(
+        docs.union(stub), "doc_id", n=3, threshold_micro=800_000
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental cross-snapshot fuzzy dedup (dedup.minhash_probe_index):
     the corpus is split deterministically into an already-indexed 80%
@@ -1526,6 +1543,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_containment": q_dedup_containment,
     "simhash_pairs": q_simhash_pairs,
     "winnow_fingerprints": q_winnow,
     "winnow_counts_prod": q_winnow_prod,
@@ -3046,4 +3064,33 @@ ORACLES["gopher_rules"] = r"""
 # Round trip is lossless iff this projection matches the parquet source.
 ORACLES["jsonl_roundtrip"] = """
     select doc_id, text, lang, source, n_chars from documents
+"""
+
+# Containment oracle over the SAME planted corpus (base + truncated
+# twins); |A ∩ B| / |A| with A's distinct-shingle size as denominator.
+ORACLES["dedup_containment"] = r"""
+    with alldocs as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 20000 as doc_id,
+             array_to_string(string_split(text, ' ')[1:8], ' ') as text
+      from documents where doc_id % 9 = 0
+    ),
+    toks as (select doc_id, string_split(text, ' ') as t from alldocs),
+    sh as (
+      select distinct doc_id as doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] as shingle
+      from toks, unnest(generate_series(1, len(t)-2)) as u(i)
+      where len(t) >= 3
+    ),
+    sz as (select doc, count(*) as sz from sh group by doc),
+    inter as (
+      select a.doc as doc_sub, b.doc as doc_sup, count(*) as inter
+      from sh a join sh b using (shingle)
+      where a.doc <> b.doc
+      group by 1, 2
+    )
+    select doc_sub, doc_sup,
+           cast(floor(inter * 1000000.0 / s.sz) as bigint) as cont_micro
+    from inter join sz s on s.doc = doc_sub
+    where floor(inter * 1000000.0 / s.sz) >= 800000
 """

@@ -233,6 +233,55 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_micro: int = 800_000,
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """Broder CONTAINMENT pairs — the asymmetric companion to Jaccard:
+    containment(A in B) = |A ∩ B| / |A|.  A short doc fully quoted
+    inside a long one scores containment ~1.0 while its symmetric
+    Jaccard is tiny (|A|/|B|), so aggregator/quote/mirror relationships
+    that ngram_jaccard_pairs structurally cannot reach surface here.
+
+    Returns ``(doc_sub, doc_sup, cont_micro)`` — doc_sub's shingles are
+    >= threshold contained in doc_sup; BOTH directions of a pair are
+    evaluated (containment is not symmetric) and doc_sub != doc_sup.
+    Same inverted-index join and ``max_df`` stop-shingle discipline as
+    the Jaccard kernel — shuffle bounded by posting lists, never
+    all-pairs.
+    """
+    sh = _cached_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        keep = sh.groupBy("shingle").agg(F.count("*").alias("df_")).where(
+            F.col("df_") <= max_df
+        )
+        sh = sh.join(keep.select("shingle"), "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc") != F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_sub"), F.col("b.doc").alias("doc_sup"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc", "doc_sub").withColumnRenamed("sz", "sz_sub"),
+            "doc_sub",
+        )
+        .withColumn(
+            "cont_micro",
+            F.floor(F.col("inter") * 1_000_000 / F.col("sz_sub")).cast("long"),
+        )
+        .where(F.col("cont_micro") >= threshold_micro)
+        .select("doc_sub", "doc_sup", "cont_micro")
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,

@@ -185,3 +185,15 @@ def test_revisit_saved_bytes_rollup(spark):
         F.sum("length")
     ).collect()[0][0]
     assert saved == 100
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment ~1.0,
+    symmetric Jaccard far below its threshold."""
+    base = " ".join(f"w{i}" for i in range(40))
+    sub = " ".join(f"w{i}" for i in range(10))
+    df = _mk_docs(spark, [(1, base), (2, sub)])
+    cont = dedup.ngram_containment_pairs(df, "doc_id", threshold_micro=800_000).collect()
+    assert [(r.doc_sub, r.doc_sup, r.cont_micro) for r in cont] == [(2, 1, 1_000_000)]
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", threshold_micro=500_000).collect()
+    assert jac == []  # jaccard = 8/38 — symmetric measure misses it
