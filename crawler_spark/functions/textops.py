@@ -374,6 +374,23 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 # ------------------------------------------------------------- winnowing
+def _lower_keep_len(s: str) -> str:
+    """LENGTH-PRESERVING lowercase for fingerprint hashing: chars whose
+    full lowercase expands (U+0130 'İ' -> 'i̇', ligatures under
+    casefold, etc.) are kept as-is, so every char offset computed on the
+    lowered string is a valid offset in the ORIGINAL — the invariant
+    substring scrubbing relies on when it cuts the un-lowered text at
+    winnow-pick positions (ADVICE r3: plain str.lower() shifted all
+    later offsets on such chars, silently cutting the wrong spans on
+    Turkish/Lithuanian webtext).  str.lower() maps each char to >=1
+    chars, so equal total length proves per-char alignment — the common
+    (ASCII and most non-Latin) case stays one C call."""
+    t = s.lower()
+    if len(t) == len(s):
+        return t
+    return "".join(c if len(lc := c.lower()) != 1 else lc for c in s)
+
+
 def winnow_fingerprints_py(
     text: str, k: int = 5, w: int = 4, hash_kind: str = "rolling"
 ) -> list[int]:
@@ -390,7 +407,7 @@ def winnow_fingerprints_py(
     md5(k-gram) as a 32-bit int — slower, but bit-reproducible in
     DuckDB SQL / Spark built-ins (the oracle twin, same trade as the
     MinHash signatures)."""
-    s = text.lower()
+    s = _lower_keep_len(text)
     n = len(s)
     if n < k:
         return []
@@ -447,7 +464,7 @@ def _winnow_picks_vec(s: str, k: int, w: int) -> "list[int] | None":
     rolling kernel)."""
     import numpy as np
 
-    s = s.lower()
+    s = _lower_keep_len(s)
     n = len(s)
     if n < k:
         return []
@@ -490,7 +507,7 @@ def _winnow_picks_vec64(s: str, k: int, w: int) -> "list[int]":
     asserted in tests."""
     import numpy as np
 
-    s = s.lower()
+    s = _lower_keep_len(s)
     n = len(s)
     if n < k:
         return []
@@ -547,10 +564,14 @@ def _winnow_picks_pos_vec64(s: str, k: int, w: int) -> "list[tuple[int, int]]":
     where pos0 is the 0-based char offset of the selected k-gram
     (strictly increasing — consecutive dedup on a non-decreasing argmin
     sequence IS position-distinctness).  Same hash, same leftmost-argmin
-    tie-break, same int64 reinterpretation of the uint64 hash."""
+    tie-break, same int64 reinterpretation of the uint64 hash.
+
+    Positions refer to the ORIGINAL string: hashing lowers via
+    :func:`_lower_keep_len`, so an offset here is always a valid cut
+    point in the un-lowered text that apply_scrub_spans slices."""
     import numpy as np
 
-    s = s.lower()
+    s = _lower_keep_len(s)
     n = len(s)
     if n < k:
         return []

@@ -154,10 +154,16 @@ def parse_robots_pages(
 
 
 def apply_robots(
-    candidates: DataFrame, robots: DataFrame | None, round_seconds: float
+    candidates: DataFrame, robots: DataFrame | None, round_seconds: float,
+    broadcast_robots: bool = True,
 ) -> DataFrame:
-    """Left-join broadcast robots; drop disallowed paths; attach the
-    crawl-delay budget cap as ``robots_budget`` (null = uncapped)."""
+    """Left-join robots rules; drop disallowed paths; attach the
+    crawl-delay budget cap as ``robots_budget`` (null = uncapped).
+
+    ``broadcast_robots`` is the caller's build-side gate (engine.crawl
+    counts the rules table once at bootstrap against broadcast_max_rows):
+    hinted broadcast below it, plain host-key join above — a 10^8-host
+    rules table must shuffle, not ship to every executor."""
     if robots is None:
         return candidates.withColumn("robots_budget", F.lit(None).cast("int"))
     r = robots.select(
@@ -165,7 +171,9 @@ def apply_robots(
         "crawl_delay_s",
         F.coalesce("disallow_prefixes", F.array()).alias("_dis"),
     )
-    out = candidates.join(F.broadcast(r), on="host", how="left")
+    if broadcast_robots:
+        r = F.broadcast(r)
+    out = candidates.join(r, on="host", how="left")
     path = F.coalesce(
         F.nullif(F.regexp_extract("url_norm", r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1), F.lit("")),
         F.lit("/"),

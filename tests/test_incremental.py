@@ -197,3 +197,37 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert [(r.doc_sub, r.doc_sup, r.cont_micro) for r in cont] == [(2, 1, 1_000_000)]
     jac = dedup.ngram_jaccard_pairs(df, "doc_id", threshold_micro=500_000).collect()
     assert jac == []  # jaccard = 8/38 — symmetric measure misses it
+
+
+def test_containment_intersection_materialized_once_per_pair(spark):
+    """The r4 kernel joins postings with doc_lo < doc_hi and emits both
+    containment directions from the ONE aggregated intersection row —
+    half the pair shuffle of the old != join (VERDICT r3 #2).  Assert
+    (a) the intersection frame holds exactly one row per unordered pair,
+    (b) both directions still come out, with direction-correct scores."""
+    from crawler_spark.functions.dedup import _cached_shingles, _containment_inter
+
+    base = " ".join(f"w{i}" for i in range(40))
+    sub = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"w{i}" for i in range(5, 25))
+    df = _mk_docs(spark, [(1, base), (2, sub), (3, other)])
+    sh = _cached_shingles(df, "doc_id", "text", 3)
+    inter = _containment_inter(sh).collect()
+    pairs = [(r.doc_lo, r.doc_hi) for r in inter]
+    assert len(pairs) == len(set(pairs))  # one row per pair
+    assert all(lo < hi for lo, hi in pairs)  # never both directions
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    # low threshold -> every direction with nonzero containment surfaces
+    cont = {
+        (r.doc_sub, r.doc_sup): r.cont_micro
+        for r in dedup.ngram_containment_pairs(
+            df, "doc_id", threshold_micro=1
+        ).collect()
+    }
+    # sub(2) in base(1): all 8 of sub's shingles appear in base
+    assert cont[(2, 1)] == 1_000_000
+    # base(1) in sub(2): 8 of base's 38 shingles
+    assert cont[(1, 2)] == int(8 * 1_000_000 / 38)
+    assert set(cont) == {
+        (1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2),
+    }

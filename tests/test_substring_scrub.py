@@ -6,11 +6,55 @@ from pyspark.sql import functions as F
 
 from crawler_spark.functions import dedup
 from crawler_spark.functions.textops import (
+    _lower_keep_len,
     _winnow_picks_pos_vec64,
     _winnow_picks_vec64,
 )
 
 SHARED = "the quick brown fox jumps over the lazy dog while the band plays on"
+
+
+def test_lower_keep_len_preserves_offsets():
+    # U+0130 'İ' -> 'i̇' (2 chars) under str.lower(): the expanding char
+    # must be kept as-is so every offset stays valid in the original
+    s = "AİB"
+    t = _lower_keep_len(s)
+    assert len(t) == len(s)
+    assert t[0] == "a" and t[2] == "b" and t[1] == "İ"
+    assert _lower_keep_len("ABC def") == "abc def"
+    assert _lower_keep_len("") == ""
+
+
+def test_pos_kernel_non_ascii_offsets_stay_in_original():
+    # four expanding chars up front: plain lower() would shift every
+    # later pick by +4, past the original string's valid cut points
+    s = "İİİİ " + SHARED
+    picks = _winnow_picks_pos_vec64(s, 12, 4)
+    assert picks  # the kernel must still fingerprint the shared tail
+    for p, _ in picks:
+        assert 0 <= p <= len(s) - 12
+
+
+def test_scrub_non_ascii_prefix_cuts_the_right_chars(spark):
+    # ADVICE r3 (medium): offsets were computed in the lowercased string
+    # but cut the ORIGINAL; an expanding char before the duplicated span
+    # made the cut land 1 char late per occurrence.
+    prefix = "İİİİ turkish prefix here "
+    df = spark.createDataFrame(
+        [
+            (1, "AAA " + SHARED + " BBB"),
+            (2, prefix + SHARED + " tail words beyond"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.substring_scrub_spans(df, k=12, w=4, min_shared=2, max_df=None)
+    out = {
+        r.doc_id: r.scrubbed
+        for r in dedup.apply_scrub_spans(df, spans).collect()
+    }
+    assert SHARED not in out[2]
+    assert out[2].startswith("İİİİ turkish prefix")  # prefix intact
+    assert out[2].endswith("beyond")
 
 
 def test_pos_kernel_values_match_value_kernel():
