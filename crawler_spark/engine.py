@@ -118,6 +118,17 @@ class CrawlConfig:
     expire_snapshots: bool = False
     max_rounds: int = 64
     collect_metrics: bool = True
+    # S5 fetch stage: 'corpus' (default; the oracle path — scheduled set
+    # joined against the pages table) or 'http' (production seam: real
+    # GETs via fetch.fetch_http's mapInPandas kernel — UA/proxy from
+    # fetchopts, per-task Cookie, non-200 -> fetch miss).  The sandbox
+    # has no network, so 'http' is exercised in tests through
+    # fetch_transport; a deployment leaves fetch_transport=None
+    # (requests-backed default_transport).
+    fetch_mode: str = "corpus"
+    fetch_timeout_s: float = 10.0
+    fetch_proxies: tuple = ()
+    fetch_transport: object | None = None
 
     def filter_kind(self) -> str:
         if self.seen_filter is not None:
@@ -496,7 +507,21 @@ def run_round(
     def build(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_build else df
 
-    hits = pages_prepared.join(build(scheduled), on="url_norm", how="inner")
+    if cfg.fetch_mode == "http":
+        # production fetch seam: real GETs instead of the corpus join;
+        # output shape is identical (scheduled cols + html/body_bytes),
+        # so everything below this line is mode-agnostic
+        from .fetch import fetch_http
+
+        hits = fetch_http(
+            scheduled,
+            cookies={n: t.cookie for n, t in cfg.tasks.items() if t.cookie},
+            proxies=tuple(cfg.fetch_proxies),
+            timeout_s=cfg.fetch_timeout_s,
+            transport=cfg.fetch_transport,
+        )
+    else:
+        hits = pages_prepared.join(build(scheduled), on="url_norm", how="inner")
     if cfg.charset_sniff:
         # P11: BOM + meta prescan per page (Arrow-batched; only the
         # scheduled rows — never the corpus scan — pay the Python hop).
@@ -745,7 +770,12 @@ def run_crawl(
             bloom.rebuild_from(
                 cat.read(spark, "seen").select("url_hash"), state["seen_count"]
             )
-    pages_prepared = prepare_pages(spark.read.parquet(cfg.pages_path))
+    # http fetch mode needs no pages table (and may have no pages_path)
+    pages_prepared = (
+        prepare_pages(spark.read.parquet(cfg.pages_path))
+        if cfg.fetch_mode != "http"
+        else None
+    )
     robots_df: DataFrame | None = None
     robots_small = True
     if cfg.robots_path:

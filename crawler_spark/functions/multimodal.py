@@ -2,15 +2,17 @@
 
 Images/audio/video ride Spark as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas UDFs over mapInPandas.  The decode libraries
-(Pillow/ffmpeg/torchaudio) are NOT in this container, so the codec step
-is stubbed two ways:
+Arrow-batched pandas UDFs over mapInPandas.  Two decode tiers:
 
-- ``decode_image_meta``: a *deterministic fake* decoder that parses the
-  synthetic header written by ``fake_image``; real plumbing (schema,
-  batching, partition sizing) — fake pixels.
-- ``decode_image_real``: raises NotImplementedError with the exact
-  production swap-in point documented.
+- ``decode_image_meta`` / ``decode_audio_meta`` (stubs): deterministic
+  fake decoders over the FIMG/FAUD synthetic headers — real plumbing
+  (schema, batching, partition sizing), fake pixels.  These are the
+  oracle-checkable contract rows.
+- ``decode_image_real`` / ``decode_audio_real`` / ``resample_wav_real``
+  (r4): REAL containers — native PNG IHDR + JPEG SOFn spec parsing and
+  stdlib-``wave`` WAV decode/resample need no third-party codec and are
+  tested in-sandbox; Pillow/soundfile handle everything else when
+  installed (import-gated; tests skip when absent).
 
 The Spark-side contract (what actually matters at 100 TB): binary
 payloads are *never* shuffled through Python row-by-row — mapInPandas
@@ -77,14 +79,92 @@ def decode_image_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_meta(raw: bytes) -> "tuple[int, int, int] | None":
+    """(width, height, channels) from a real PNG's IHDR chunk — pure
+    spec parsing (RFC 2083 §4.1.1), no codec library.  Channels from
+    color type: 0 gray, 2 rgb, 3 palette(1), 4 gray+a, 6 rgba."""
+    if raw[:8] != PNG_MAGIC or len(raw) < 33 or raw[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", raw[16:24])
+    color_type = raw[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    return (w, h, channels) if channels else None
+
+
+def jpeg_meta(raw: bytes) -> "tuple[int, int, int] | None":
+    """(width, height, channels) from a real JPEG's SOFn marker — walks
+    the segment chain (ITU T.81 §B.2.2), no codec library."""
+    if raw[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(raw):
+        if raw[i] != 0xFF:
+            return None
+        marker = raw[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", raw[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
+            return (w, h, raw[i + 9])
+        i += 2 + seg_len
+    return None
+
+
 def decode_image_real(df: DataFrame, bin_col: str = "payload") -> DataFrame:
-    """Production decode: swap the body of ``run`` for
-    ``PIL.Image.open(io.BytesIO(raw))`` (or cv2.imdecode) keeping the
-    same mapInPandas shape — batch in, batch out, schema fixed."""
-    raise NotImplementedError(
-        "image codec libraries not available in this environment; "
-        "use decode_image_meta (deterministic stub) — same Spark plumbing"
-    )
+    """REAL image decode filling the r3 seam: same output schema and
+    mapInPandas shape as the stub, real containers.
+
+    Per payload, in order: native PNG IHDR parse, native JPEG SOFn
+    parse (both pure spec parsing, zero dependencies — tested
+    in-sandbox against bytes produced with stdlib zlib), then PIL
+    (``PIL.Image.open``) for every other format WHEN the library is
+    present (import-gated per batch; tests skip without it), else
+    codec='unknown'.  The FIMG stub remains the contract-row oracle
+    path — this is the deployment path."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("meta", IMAGE_META_SCHEMA)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # optional; absent in the sandbox
+        except ImportError:
+            Image = None
+        for pdf in batches:
+            metas = []
+            for raw in pdf[bin_col]:
+                raw = bytes(raw) if raw is not None else b""
+                m = png_meta(raw)
+                codec = "png"
+                if m is None:
+                    m, codec = jpeg_meta(raw), "jpeg"
+                if m is None and Image is not None:
+                    import io
+
+                    try:
+                        with Image.open(io.BytesIO(raw)) as img:
+                            m = (img.width, img.height, len(img.getbands()))
+                            codec = (img.format or "pil").lower()
+                    except Exception:
+                        m = None
+                if m is None:
+                    metas.append(
+                        {"width": None, "height": None, "channels": None,
+                         "n_bytes": len(raw), "codec": "unknown"}
+                    )
+                else:
+                    metas.append(
+                        {"width": m[0], "height": m[1], "channels": m[2],
+                         "n_bytes": len(raw), "codec": codec}
+                    )
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def resize_stub(df: DataFrame, target_w: int, target_h: int,
@@ -157,6 +237,119 @@ def decode_audio_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
                     )
             pdf = pdf.copy()
             pdf["ameta"] = metas
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_audio_real(df: DataFrame, bin_col: str = "payload") -> DataFrame:
+    """REAL audio decode filling the r3 seam: WAV containers through the
+    stdlib ``wave`` reader (always present; tested in-sandbox), then
+    soundfile when installed (import-gated; tests skip without it).
+    Same ameta schema and mapInPandas shape as the stub."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("ameta", AUDIO_META_SCHEMA)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        try:
+            import soundfile  # optional; absent in the sandbox
+        except ImportError:
+            soundfile = None
+        for pdf in batches:
+            metas = []
+            for raw in pdf[bin_col]:
+                raw = bytes(raw) if raw is not None else b""
+                meta = None
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    try:
+                        with wave.open(io.BytesIO(raw)) as wf:
+                            sr, ns, ch = (
+                                wf.getframerate(), wf.getnframes(), wf.getnchannels()
+                            )
+                            meta = {"sample_rate": sr, "n_channels": ch,
+                                    "n_samples": ns,
+                                    "duration_ms": (ns * 1000) // max(sr, 1),
+                                    "codec": "wav"}
+                    except wave.Error:
+                        meta = None
+                if meta is None and soundfile is not None:
+                    try:
+                        info = soundfile.info(io.BytesIO(raw))
+                        meta = {"sample_rate": int(info.samplerate),
+                                "n_channels": int(info.channels),
+                                "n_samples": int(info.frames),
+                                "duration_ms": int(info.frames * 1000)
+                                // max(int(info.samplerate), 1),
+                                "codec": str(info.format).lower()}
+                    except Exception:
+                        meta = None
+                metas.append(meta or {
+                    "sample_rate": None, "n_channels": None,
+                    "n_samples": None, "duration_ms": None, "codec": "unknown",
+                })
+            pdf = pdf.copy()
+            pdf["ameta"] = metas
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resample_wav_real(df: DataFrame, target_rate: int,
+                      bin_col: str = "payload") -> DataFrame:
+    """REAL PCM16 WAV resample: stdlib ``wave`` decode, vectorized
+    linear interpolation (numpy) onto the target grid, ``wave``
+    re-encode — a genuine sample-rate conversion, not a header rewrite.
+    Non-WAV payloads pass through untouched (same contract as the
+    stub).  Production would swap the interpolator for a polyphase
+    filter (soxr/torchaudio) in the identical UDF shape."""
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            fixed = []
+            for raw in pdf[bin_col]:
+                raw = bytes(raw) if raw is not None else b""
+                if not (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"):
+                    fixed.append(raw)
+                    continue
+                try:
+                    with wave.open(io.BytesIO(raw)) as wf:
+                        sr, ch, sw = (
+                            wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+                        )
+                        frames = wf.readframes(wf.getnframes())
+                except wave.Error:
+                    fixed.append(raw)
+                    continue
+                if sw != 2 or sr == target_rate:
+                    fixed.append(raw)
+                    continue
+                x = np.frombuffer(frames, dtype="<i2").reshape(-1, ch)
+                n_out = int(round(x.shape[0] * target_rate / sr))
+                src_pos = np.arange(n_out, dtype=np.float64) * sr / target_rate
+                i0 = np.minimum(src_pos.astype(np.int64), x.shape[0] - 1)
+                i1 = np.minimum(i0 + 1, x.shape[0] - 1)
+                frac = (src_pos - i0)[:, None]
+                y = np.clip(
+                    np.rint(x[i0] * (1.0 - frac) + x[i1] * frac),
+                    -32768, 32767,
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as out:
+                    out.setnchannels(ch)
+                    out.setsampwidth(2)
+                    out.setframerate(target_rate)
+                    out.writeframes(y.tobytes())
+                fixed.append(buf.getvalue())
+            pdf = pdf.copy()
+            pdf[bin_col] = fixed
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -86,6 +86,9 @@ class Task:
     # (limiter/limiter.go:33-41; config.toml:5 -> 1/2s AND 20/60s)
     rate_limits: tuple[tuple[int, int], ...] = ((1, 2), (20, 60))
     reload: bool = False  # Task.Reload skips dedup (crawler.go:85)
+    # Task.Cookie (collect/collect.go:70-72): sent verbatim as the
+    # Cookie header by the http fetch mode; unused by the corpus join
+    cookie: str = ""
 
 
 # --------------------------------------------------------------- patterns
