@@ -157,13 +157,21 @@ class Catalog:
         dfw = df.withColumn(
             "_bucket", F.pmod(F.col(bucket_col), F.lit(n_buckets)).cast("int")
         )
+        reset0 = buckets is None
+        cover0 = list(range(n_buckets)) if reset0 else sorted(int(b) for b in buckets)
+        # one write task per covered bucket: without this, partitionBy
+        # fans every upstream partition across every bucket directory
+        # (upstream_partitions x buckets small files per commit — the
+        # dominant frontier-commit cost at small deltas, and exactly the
+        # small-file problem Iceberg's bucket(url_hash) write clustering
+        # avoids).  Hash collisions merging two buckets into one task
+        # are fine: partitionBy still splits the directories.
+        dfw = dfw.repartition(max(len(cover0), 1), "_bucket")
         dfw.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
         rows = self._dir_rows(out_dir)
-        reset = buckets is None
-        cover = list(range(n_buckets)) if reset else sorted(int(b) for b in buckets)
         manifest.append(
             {"id": snap_id, "mode": "buckets", "dir": rel, "rows": rows,
-             "buckets": cover, "reset": reset, "n_buckets": n_buckets}
+             "buckets": cover0, "reset": reset0, "n_buckets": n_buckets}
         )
         self._commit(table, manifest)
         return snap_id, rows

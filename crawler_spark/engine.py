@@ -663,7 +663,11 @@ def run_round(
         .distinct()
         .collect()
     )
-    n_deferred = deferred.count()  # over the cached cand, no table scan
+    # rank_by_budget PARTITIONS cand into scheduled/deferred, so the
+    # deferred size is arithmetic over counts already paid for — a
+    # deferred.count() here re-ran the two-phase rank windows a second
+    # time every round (r4 profile: ~0.5s/round at contract scale)
+    n_deferred = cand.count() - n_scheduled  # cand is persisted: cheap
     if compact:
         # full rewrite of the live set: flushes clean buckets' dead rows
         snaps["frontier_pending"], rows["frontier_pending"] = cat.commit_buckets(
