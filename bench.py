@@ -56,24 +56,30 @@ def _force(df) -> int:
 QUERY_REPS = int(os.environ.get("CRAWL_BENCH_QUERY_REPS", "2"))
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
-    """Best-of-QUERY_REPS wall per query: this VM has +-2x run-to-run
-    noise, and the per-round BENCH_r{N}.json is compared across rounds —
-    best-of-2 keeps a one-off scheduler hiccup from reading as a
-    regression.  Rep 1 runs all queries, then rep 2 (so rep 2 never
-    benefits from a same-query warm cache beyond what rep 1 already
-    built — matching how a user would hit a warm session)."""
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (best_of_QUERY_REPS, rep1) walls per query.  This VM has
+    +-2x run-to-run noise, and the per-round BENCH_r{N}.json is compared
+    across rounds — best-of-2 keeps a one-off scheduler hiccup from
+    reading as a regression.  Rep 1 runs all queries, then rep 2 (so rep
+    2 never benefits from a same-query warm cache beyond what rep 1
+    already built — matching how a user would hit a warm session).
+
+    BOTH series are emitted (VERDICT r3 #5: the recorded run must always
+    sit beside the best-of, same rep protocol across compared rounds)."""
     from crawler_spark.entry_queries import QUERIES
 
     times: dict[str, float] = {}
+    rep1: dict[str, float] = {}
     for rep in range(QUERY_REPS):
         for name in sorted(QUERIES):
             t0 = time.time()
             _force(QUERIES[name](spark, sf_dir))
             wall = round(time.time() - t0, 3)
+            if rep == 0:
+                rep1[name] = wall
             if name not in times or wall < times[name]:
                 times[name] = wall
-    return times
+    return times, rep1
 
 
 def ensure_corpus(spark, path: str) -> dict:
@@ -182,26 +188,32 @@ def main() -> None:
     spark.range(0, cores * 4, 1, cores).mapInPandas(lambda it: it, "id long").count()
 
     queries: dict[str, float] = {}
+    queries_rep1: dict[str, float] = {}
     crawl: dict = {}
     corpus_path = args.corpus or os.path.join(
         tempfile.gettempdir(), f"crawl_bench_corpus_h{CRAWL_HOSTS}_f{CRAWL_FILLER}"
     )
 
     if not args.crawl_only:
-        queries = bench_queries(spark, sf_dir)
+        queries, queries_rep1 = bench_queries(spark, sf_dir)
     if not args.skip_crawl:
         # best-of-CRAWL_BENCH_REPS, same rationale as the query reps
         # (±2x VM noise); the corpus is generated once and reused, so
-        # rep 2 costs only the crawl itself
+        # rep 2 costs only the crawl itself.  Rep 1 is kept beside the
+        # best (VERDICT r3 #5).
         reps = int(os.environ.get("CRAWL_BENCH_REPS", "2"))
         best = None
-        for _ in range(max(1, reps)):
+        for rep in range(max(1, reps)):
             t0 = time.time()
             c = bench_crawl(spark, corpus_path, cores)
             c_wall = round(time.time() - t0, 3)
+            if rep == 0:
+                queries_rep1["crawl_full"] = c_wall
+                crawl_rep1_steady = c["steady_urls_per_sec"]
             if best is None or c["steady_urls_per_sec"] > best[0]["steady_urls_per_sec"]:
                 best = (c, c_wall)
         crawl, queries["crawl_full"] = best
+        crawl["rep1_steady_urls_per_sec"] = crawl_rep1_steady
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -209,6 +221,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_rep1": queries_rep1,
+        "reps": QUERY_REPS,
         "sf": _sf_from_dir(sf_dir),
         "cores": cores,
         "crawl": crawl,
