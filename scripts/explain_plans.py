@@ -252,6 +252,18 @@ def main() -> None:
         explain_str(QUERIES["lang_id_lm"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "dedup_containment (one intersection row per unordered pair)",
+        "MUST: exactly ONE posting-list self-join (SortMergeJoin on\n"
+        "shingle) feeding ONE HashAggregate keyed (doc_lo, doc_hi) with\n"
+        "doc_lo < doc_hi — the r3 kernel's a.doc != b.doc join\n"
+        "materialized every intersection twice; both containment\n"
+        "directions now come from a post-agg Generate (explode of two\n"
+        "struct rows), so the pair shuffle is half and no second join\n"
+        "or aggregate over postings appears anywhere in the plan.",
+        explain_str(QUERIES["dedup_containment"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = ["# PLANS — formatted physical plans for the load-bearing shapes",
            "", "Generated by `python scripts/explain_plans.py`.", ""]
     for title, props, plan in sections:
