@@ -19,6 +19,12 @@ Layout
 - ``politeness``  per-host round budgets, robots.txt filtering, two-phase skew rank
 - ``seen``        bloom pre-filter (cuckoo fallback) + exact seen-set ops
 - ``engine``      the round driver: run_round / run_crawl / resume
+- ``fetch``       production HTTP fetch seam (fetch_mode='http'): mapInPandas
+                  GETs, injectable transport, UA/proxy/Cookie per reference
+- ``fetchopts``   deterministic per-URL proxy + User-Agent columns (S7/S8)
+- ``jsrules``     loader translating the reference's dynamic-task JS scripts
+                  (ParseJSReg / OutputJS / AddJSReqs) into rules-as-data
+- ``sinks``       JDBC results sink matching the reference's per-task table
 - ``corpus``      deterministic synthetic Common-Crawl-style page corpus (seed 42)
 - ``oracle``      pure-Python single-worker reference oracle for equivalence tests
 - ``functions``   training-data pipeline ops (dedup suite, similarity, text analysis)
