@@ -65,6 +65,20 @@ def main() -> int:
         help="P11: sniff charset (BOM + meta prescan) per page and transcode",
     )
     ap.add_argument(
+        "--fetch-mode", choices=["corpus", "http"], default="corpus",
+        help="S5: 'corpus' joins the frontier against --pages (the oracle "
+             "path); 'http' issues real GETs (fetch.fetch_http — requires "
+             "network; UA/proxy deterministic per URL, per-task Cookie)",
+    )
+    ap.add_argument(
+        "--fetch-timeout", type=float, default=10.0,
+        help="http mode: per-request timeout seconds (reference Timeout)",
+    )
+    ap.add_argument(
+        "--proxy", action="append", default=[],
+        help="http mode: proxy URL (repeatable; deterministic per-URL pick)",
+    )
+    ap.add_argument(
         "--broadcast-max-rows", type=int, default=4_000_000,
         help="fetch-join build-side gate: above this, no broadcast hint",
     )
@@ -113,6 +127,9 @@ def main() -> int:
         frontier_compact_every=args.frontier_compact_every or None,
         expire_snapshots=args.expire_snapshots,
         max_rounds=args.max_rounds,
+        fetch_mode=args.fetch_mode,
+        fetch_timeout_s=args.fetch_timeout,
+        fetch_proxies=tuple(args.proxy),
     )
     cat = Catalog(args.warehouse)
     t0 = time.time()

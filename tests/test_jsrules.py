@@ -40,6 +40,31 @@ def test_js_string_unescape_matches_vm_semantics():
     assert js_string_unescape(r"A\x42") == "AB"
 
 
+def _js_escape(s: str) -> str:
+    """Minimal JS string-literal encoder (the inverse direction)."""
+    return "".join(
+        "\\" + c if c in ('"', "\\") else
+        {"\n": "\\n", "\t": "\\t", "\r": "\\r"}.get(c, c)
+        for c in s
+    )
+
+
+def test_js_string_escape_unescape_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def prop(s):
+        body = _js_escape(s)
+        # the encoded body must parse as ONE literal under the loader's
+        # tokenizer AND decode back to the original value
+        assert re.fullmatch(r'(?:[^"\\]|\\.)*', body, re.S)
+        assert js_string_unescape(body) == s
+
+    prop()
+
+
 def test_root_js_golden(ref_js):
     seeds = parse_root_js(ref_js["root"])
     assert seeds == [
