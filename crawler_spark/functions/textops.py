@@ -332,13 +332,18 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     - ``dup3_frac_micro``: fraction of 3-gram occurrences whose gram
       appears more than once in the doc (self-repetition marker).
 
-    Docs too short for an n-gram score 0.  One shuffle per n (the
-    groupBy on (doc, gram)); map-side partial aggregation keeps the
-    shuffle bounded by distinct grams per doc."""
+    Docs too short for an n-gram score 0.  ZERO shuffle: both signals
+    are per-document, so instead of exploding the corpus gram stream
+    into (doc, gram) groupBys (two full-width shuffles — the r1-r3
+    shape), each doc's gram array is sorted in-row and the repeated-gram
+    structure read off the sorted array's run lengths with one aggregate
+    fold (max run = top gram count; elements in runs >= 2 = duplicated
+    occurrences).  Same integers, no network — at 10^10 docs the old
+    plan shuffled every gram in the corpus twice."""
     toks = F.split(F.col(text_col), " ")
 
-    def gram_counts(n: int) -> DataFrame:
-        grams = F.when(
+    def gram_arr(n: int):
+        return F.when(
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - n),
@@ -347,29 +352,56 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return (
-            df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
-            .groupBy("doc", "g").agg(F.count("*").alias("cnt"))
+
+    def run_stats(garr):
+        """(max_run, dup_occurrences) over the sorted gram array: a run
+        reaching length 2 contributes both elements, each further
+        element one more."""
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("maxrun"),
+            F.lit(0).cast("long").alias("dup"),
         )
 
-    s2 = gram_counts(2).groupBy("doc").agg(
-        F.max("cnt").alias("top2"), F.sum("cnt").alias("tot2")
+        def step(acc, x):
+            newrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                x.alias("prev"),
+                newrun.alias("run"),
+                F.greatest(acc["maxrun"], newrun).alias("maxrun"),
+                (
+                    acc["dup"]
+                    + F.when(newrun == 2, F.lit(2))
+                    .when(newrun > 2, F.lit(1))
+                    .otherwise(F.lit(0))
+                ).alias("dup"),
+            )
+
+        return F.aggregate(F.array_sort(garr), acc0, step)
+
+    # staged projection: the sort+fold is non-cheap and referenced by
+    # two output fields — keep it evaluated once (CollapseProject keeps
+    # non-cheap expressions staged, SPARK-36718)
+    staged = df.select(
+        F.col(id_col),
+        run_stats(gram_arr(2)).alias("__s2"),
+        (F.size(toks) - 1).cast("long").alias("__tot2"),
+        run_stats(gram_arr(3)).alias("__s3"),
+        (F.size(toks) - 2).cast("long").alias("__tot3"),
     )
-    s3 = gram_counts(3).groupBy("doc").agg(
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup3"),
-        F.sum("cnt").alias("tot3"),
-    )
-    return (
-        df.select(F.col(id_col).alias("doc"))
-        .join(s2, "doc", "left")
-        .join(s3, "doc", "left")
-        .select(
-            F.col("doc").alias(id_col),
-            F.coalesce(F.floor(F.col("top2") * 1_000_000 / F.col("tot2")), F.lit(0))
-            .cast("long").alias("top2_frac_micro"),
-            F.coalesce(F.floor(F.col("dup3") * 1_000_000 / F.col("tot3")), F.lit(0))
-            .cast("long").alias("dup3_frac_micro"),
-        )
+    return staged.select(
+        F.col(id_col),
+        F.when(
+            F.col("__tot2") > 0,
+            F.floor(F.col("__s2.maxrun") * 1_000_000 / F.col("__tot2")),
+        ).otherwise(F.lit(0)).cast("long").alias("top2_frac_micro"),
+        F.when(
+            F.col("__tot3") > 0,
+            F.floor(F.col("__s3.dup") * 1_000_000 / F.col("__tot3")),
+        ).otherwise(F.lit(0)).cast("long").alias("dup3_frac_micro"),
     )
 
 

@@ -171,3 +171,34 @@ def test_semantic_dedup_centroids_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ------------------------------------- repetition_scores (r4 rewrite)
+def test_repetition_scores_known_values(spark):
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> top "a b" x3
+    # of 5; 3-grams = [a b a, b a b, a b a, b a b] -> all 4 duplicated
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.repetition_scores(df).collect()}
+    assert rows[1].top2_frac_micro == 3 * 1_000_000 // 5
+    assert rows[1].dup3_frac_micro == 1_000_000
+    assert rows[2].top2_frac_micro == 1_000_000 // 5  # all distinct, max run 1
+    assert rows[2].dup3_frac_micro == 0
+
+
+def test_repetition_scores_short_docs_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textops.repetition_scores(df).collect()}
+    assert (rows[1].top2_frac_micro, rows[1].dup3_frac_micro) == (0, 0)
+    # two words: one 2-gram (top fraction 1.0), no 3-grams
+    assert (rows[2].top2_frac_micro, rows[2].dup3_frac_micro) == (1_000_000, 0)
+
+
+def test_repetition_scores_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = textops.repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
