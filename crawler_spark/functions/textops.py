@@ -1291,3 +1291,177 @@ def c4_clean(
         F.size("__kept").cast("int").alias("n_kept"),
         F.md5(F.array_join(F.col("__kept"), "\n")).alias("cleaned_md5"),
     )
+
+
+# ------------------------------------ CCNet perplexity bucketing + BM25
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): score
+    every document under a per-language word-bigram LM, then cut each
+    language's corpus into score terciles — "head" is the most fluent
+    third, the slice CCNet ships as the highest-quality training data.
+
+    Integer-exact twin of :func:`bigram_lm_scores`, conditioned on
+    language (c(lang,w1,w2) / c(lang,w1,·) floor-micro probabilities),
+    so bucket boundaries are bit-identical across engines.  Bucket
+    assignment is rank-based, not value-quantile-based:
+
+        rn      = row_number over (lang) ordered by score desc, id asc
+        bucket  = floor((rn - 1) * 3 / n_lang)  ->  0 head, 1 middle,
+                                                    2 tail
+
+    which is exactly ntile(3) for n % 3 == 0 and deterministic (no
+    tie-dependent quantile interpolation) otherwise.
+
+    Scale shape: one (lang,w1,w2) shuffle to train, one model join
+    keyed (lang,w1,w2) — per-language vocabularies shard the hot-word
+    skew that the corpus-wide LM concentrates — and the tercile window
+    is per-language rank over docs, the same per-key window every
+    priority queue in the engine uses.  No global sort.
+
+    Returns ``(id, lang, lm_score_micro, n_bigrams, bucket)`` for every
+    doc with >= 1 bigram; ``bucket`` in {'head','middle','tail'}.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    pairs = F.arrays_zip(
+        F.slice(words, 1, n - 1).alias("w1"), F.slice(words, 2, n - 1).alias("w2")
+    )
+    big = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(lang_col).alias("__lang"),
+        F.explode(pairs).alias("p"),
+    ).select("__doc", "__lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = big.groupBy("__lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("__lang", "w1").agg(F.sum("c2").alias("c1"))
+    model = c2.join(c1, ["__lang", "w1"]).select(
+        "__lang", "w1", "w2",
+        F.floor(F.col("c2") * 1_000_000 / F.col("c1")).cast("long").alias("p_micro"),
+    )
+    scored = (
+        big.join(model, ["__lang", "w1", "w2"])
+        .groupBy("__doc", "__lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(F.sum("p_micro") / F.count(F.lit(1))).cast("long").alias(
+                "lm_score_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("__lang").orderBy(
+        F.desc("lm_score_micro"), F.asc("__doc")
+    )
+    cnt = Window.partitionBy("__lang")
+    idx = F.floor((F.row_number().over(w) - 1) * 3 / F.count(F.lit(1)).over(cnt))
+    return scored.select(
+        F.col("__doc").alias(id_col),
+        F.col("__lang").alias(lang_col),
+        "lm_score_micro",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            (idx + 1).cast("int"),
+        ).alias("bucket"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1_micro: int = 1_200_000,
+    b_micro: int = 750_000,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (Robertson/Okapi) — the
+    ranked-search primitive a crawl-corpus index serves, and the lexical
+    side of hybrid (BM25 + ANN) retrieval.  k1 = 1.2, b = 0.75 as micro
+    fixed-point.
+
+    Integer-exact at milli resolution so Spark and the SQL oracle agree
+    bit-for-bit (the classic ln-idf is monotone in this rational idf,
+    so ranking is BM25 ranking; document-level scores differ from the
+    float formula only by the fixed-point grid):
+
+        avgdl       = floor(sum(dl) / N)            (plain int)
+        idf_milli   = floor(1000 (2N - 2df + 1) / (2df + 1))
+        norm_micro  = (1e6 - b) + floor(b dl / avgdl)
+        denom       = tf 1e6 + floor(k1 norm_micro / 1e6)
+        tfn_milli   = floor(tf (k1 + 1e6) 1000 / denom)
+        score_milli = sum over query terms floor(idf_milli tfn_milli
+                                                 / 1000)
+
+    Every intermediate stays < 2^53, so the long->double division both
+    engines perform rounds identically (documented ceiling: N < 2^40
+    docs; beyond that swap the rational idf for log-idf and accept
+    float comparison).
+
+    Scale shape: the query-term filter is applied scan-side BEFORE any
+    shuffle (tf is a (doc, term) groupBy over matched terms only — for
+    a q-term query the shuffle carries at most q rows per doc); dl/N/
+    avgdl are scan-local plus one tiny global agg broadcast back; df_t
+    is a q-row table, broadcast.  Top-k is one global window over docs
+    that matched >= 1 term — rank by (score desc, id asc), k rows out.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")).select(
+        "__id", "__toks", F.size("__toks").cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.floor(F.sum("dl") / F.count(F.lit(1))).cast("long").alias("avgdl"),
+    )
+    terms = base.select(
+        "__id", "dl", F.explode("__toks").alias("term")
+    ).where(F.col("term").isin(list(query_terms)))
+    tf = terms.groupBy("__id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.floor(
+                (2 * F.col("__n") - 2 * F.col("__df") + 1)
+                * 1000
+                / (2 * F.col("__df") + 1)
+            ).cast("long").alias("idf_milli"),
+            "avgdl",
+        )
+    )
+    K, B = F.lit(k1_micro).cast("long"), F.lit(b_micro).cast("long")
+    norm = (F.lit(1_000_000) - B) + F.floor(B * F.col("dl") / F.col("avgdl"))
+    denom = F.col("tf") * 1_000_000 + F.floor(K * norm / 1_000_000)
+    tfn = F.floor(F.col("tf") * (K + 1_000_000) * 1000 / denom)
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .withColumn(
+            "contrib",
+            F.floor(F.col("idf_milli") * tfn / 1000).cast("long"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.sum("contrib").cast("long").alias("score_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_milli"), F.asc("__id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select(
+            F.col("__id").alias(id_col),
+            "score_milli",
+            "n_terms",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
