@@ -324,8 +324,7 @@ def sample_temperature(
 # ----------------------------------------------------------- repetition
 def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
-    adapted to whitespace tokens, all built-in SQL (fixed-point micro
-    ratios, oracle-checkable):
+    adapted to whitespace tokens:
 
     - ``top2_frac_micro``: occurrences of the most frequent word 2-gram
       / total 2-gram occurrences (boilerplate/SEO spam marker);
@@ -333,13 +332,65 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
       appears more than once in the doc (self-repetition marker).
 
     Docs too short for an n-gram score 0.  ZERO shuffle: both signals
-    are per-document, so instead of exploding the corpus gram stream
-    into (doc, gram) groupBys (two full-width shuffles — the r1-r3
-    shape), each doc's gram array is sorted in-row and the repeated-gram
-    structure read off the sorted array's run lengths with one aggregate
-    fold (max run = top gram count; elements in runs >= 2 = duplicated
-    occurrences).  Same integers, no network — at 10^10 docs the old
-    plan shuffled every gram in the corpus twice."""
+    are per-document, so neither implementation ever leaves the scan
+    partition (the r1-r3 shape exploded the corpus gram stream into two
+    (doc, gram) groupBys — every gram in the corpus shuffled twice).
+
+    Production kernel: mapInPandas over Arrow batches — one O(L)
+    counting-dict pass per doc.  The built-in twin
+    :func:`repetition_scores_sql` (sorted-run fold) computes the same
+    integers from pure Catalyst expressions, but higher-order-function
+    lambdas are interpreted per element (no codegen), benching ~19x
+    slower at identical plan shape; it stays as the oracle-shaped twin,
+    equivalence-pinned in tests/test_c4_dsir_semantic.py."""
+    out_schema = (
+        f"{id_col} long, top2_frac_micro long, dup3_frac_micro long"
+    )
+
+    def _score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, t2, d3 = [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                t2v = d3v = 0
+                if txt is not None:
+                    toks = txt.split(" ")
+                    n = len(toks)
+                    if n >= 2:
+                        c2: dict = {}
+                        for g in zip(toks, toks[1:]):
+                            c2[g] = c2.get(g, 0) + 1
+                        t2v = max(c2.values()) * 1_000_000 // (n - 1)
+                    if n >= 3:
+                        c3: dict = {}
+                        for g in zip(toks, toks[1:], toks[2:]):
+                            c3[g] = c3.get(g, 0) + 1
+                        d3v = (
+                            sum(v for v in c3.values() if v > 1)
+                            * 1_000_000
+                            // (n - 2)
+                        )
+                ids.append(i)
+                t2.append(t2v)
+                d3.append(d3v)
+            yield pd.DataFrame(
+                {id_col: ids, "top2_frac_micro": t2, "dup3_frac_micro": d3}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_score_batches, out_schema)
+
+
+def repetition_scores_sql(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Built-in-only twin of :func:`repetition_scores` (same integers,
+    same zero-shuffle shape): each doc's gram array is sorted in-row and
+    the repeated-gram structure read off the sorted array's run lengths
+    with one aggregate fold (max run = top gram count; elements in runs
+    >= 2 = duplicated occurrences).  Kept because it is the shape the
+    DuckDB oracle mirrors and needs no Python workers; the Arrow kernel
+    wins locally only because Catalyst interprets HOF lambdas."""
     toks = F.split(F.col(text_col), " ")
 
     def gram_arr(n: int):

@@ -200,5 +200,27 @@ def test_repetition_scores_short_docs_zero(spark):
 
 def test_repetition_scores_zero_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
-    plan = textops.repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    for kernel in (textops.repetition_scores, textops.repetition_scores_sql):
+        plan = kernel(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_repetition_scores_arrow_sql_equivalence(spark):
+    # the Arrow production kernel and the built-in fold twin emit the
+    # same integers on adversarial inputs: nulls, empty, single token,
+    # heavy repetition, unicode, multi-space-free synthetic docs
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "solo"),
+        (4, "a a a a a a a a"),
+        (5, "the quick brown fox jumps over the lazy dog the quick brown"),
+        (6, "ü ber ü ber ü"),
+        (7, "x y " * 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: (r.top2_frac_micro, r.dup3_frac_micro)
+         for r in textops.repetition_scores(df).collect()}
+    b = {r.doc_id: (r.top2_frac_micro, r.dup3_frac_micro)
+         for r in textops.repetition_scores_sql(df).collect()}
+    assert a == b and len(a) == 7
