@@ -1255,7 +1255,12 @@ def q_scrub_apply(spark, sf_dir):
     hash match proves Spark's right-to-left fold cut exactly the
     claimed spans and nothing else."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    spans = dedup.substring_scrub_spans(docs, k=20, w=4, min_shared=5, max_df=200)
+    # spans feed TWO consumers (the cut and the affected-doc join);
+    # unpersisted, the whole span-mining chain executes twice
+    spans = dedup._probe_persist(
+        dedup.substring_scrub_spans(docs, k=20, w=4, min_shared=5, max_df=200),
+        "scrub_spans",
+    )
     out = dedup.apply_scrub_spans(docs, spans)
     return (
         out.join(spans.select("doc_id").distinct(), "doc_id")

@@ -96,7 +96,11 @@ def shingles(
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+    from . import fan_out
+
+    out = fan_out(df).select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("shingle")
+    )
     return out.distinct() if distinct else out
 
 
@@ -948,8 +952,13 @@ def apply_scrub_spans(
             ),
         ),
     )
+    from . import fan_out
+
+    # the span side is tiny (docs with cuts) and broadcasts, so without
+    # fan-out the concat/substr fold runs on the scan's own splits — one
+    # core for a local single-split file
     return (
-        df.join(agg, id_col, "left")
+        fan_out(df).join(agg, id_col, "left")
         .withColumn(
             "scrubbed",
             F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(cut),

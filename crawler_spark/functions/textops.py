@@ -639,7 +639,9 @@ def winnow_picks(
             yield pd.DataFrame({id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                                 "fp": pd.Series(fps, dtype="int64")})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    from . import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, schema=schema)
 
 
 def _winnow_picks_pos_vec64(s: str, k: int, w: int) -> "list[tuple[int, int]]":
@@ -711,7 +713,9 @@ def winnow_picks_pos(
                 "pos": pd.Series(poss, dtype="int64"),
             })
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    from . import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, schema=schema)
 
 
 def winnow_counts(
@@ -745,7 +749,9 @@ def winnow_counts(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    from . import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, schema=schema)
 
 
 def _winnow_sel_sql(
