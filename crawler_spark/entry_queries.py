@@ -1567,7 +1567,11 @@ def q_semantic_dedup(spark, sf_dir):
     Embeddings are cast to double in BOTH engines first — float32
     accumulation differs at 1 ulp between engines (measured 149/7781
     floor flips at sf0.01), double accumulation is bit-identical."""
-    e = _emb(spark, sf_dir).select(
+    from .functions import fan_out
+
+    # the interpreted zip_with/aggregate dot folds dominate this query;
+    # fan_out spreads the single local split across cores (no-op at scale)
+    e = fan_out(_emb(spark, sf_dir)).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )

@@ -26,6 +26,8 @@ def fan_out(df: DataFrame) -> DataFrame:
 
     The gate reads the physical plan's partition count (no job runs).
     """
+    if df.isStreaming:  # micro-batch sizing is the stream's own knob
+        return df
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= cores:

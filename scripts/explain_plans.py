@@ -264,6 +264,28 @@ def main() -> None:
         explain_str(QUERIES["dedup_containment"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "bm25_topk (scan-side term filter, broadcast idf, top-k window)",
+        "MUST: the query-term IN filter sits BELOW the first Exchange\n"
+        "(tokens explode scan-local, non-matching terms never shuffle —\n"
+        "for a q-term query at most q rows per doc move); the q-row idf\n"
+        "table and the 1-row corpus stats reach the scoring join as\n"
+        "BroadcastExchanges; the final rank is one window over matched\n"
+        "docs only, never the corpus.",
+        explain_str(QUERIES["bm25_topk"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "hybrid_rrf (rank fusion over two top-k lists)",
+        "Witness: both retrieval arms end in their own bounded top-k\n"
+        "(window rank <= 25) BEFORE the union — the fuse stage's inputs\n"
+        "are k-row frames, so the grouped sum and final rank window cost\n"
+        "O(k), independent of corpus size.  The BM25 arm keeps its\n"
+        "scan-side term filter; the dense arm is the brute-topk scan\n"
+        "(TakeOrderedAndProject) the ann_brute contract row pins.",
+        explain_str(QUERIES["hybrid_rrf"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = ["# PLANS — formatted physical plans for the load-bearing shapes",
            "", "Generated by `python scripts/explain_plans.py`.", ""]
     for title, props, plan in sections:
