@@ -1733,13 +1733,13 @@ QUERIES = {
     # -- r3-green rows touched by r4 fixes (must re-verify) ----------
     "revisit_stream": q_revisit_stream,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "decontaminate": q_decontaminate,
+    "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
     # -- r3-green fill: engine core + one per §2.5 family ------------
     "politeness_rank": q_politeness_rank,
     "schedule_round": q_schedule_round,
     "dedup_anti_join": q_dedup_anti_join,
     "priority_topk": q_priority_topk,
-    "link_explode": q_link_explode,
-    "link_truncate": q_link_truncate,
     "body_length_filter": q_body_length_filter,
     "rlike_filter": q_rlike_filter,
     "regex_field_extract": q_regex_field_extract,
@@ -1748,6 +1748,11 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
     # ---------------- driver window ends here (50) ------------------
+    # (link_explode / link_truncate displaced by decontaminate /
+    # fuzzy_dedup_e2e, whose shingle plans changed late in r4 — both
+    # displaced rows r3-green and untouched since):
+    "link_explode": q_link_explode,
+    "link_truncate": q_link_truncate,
     # r3 hash-green, unchanged since CORRECTNESS_r03.json (lang_id_lm,
     # gopher_rules, sessionize and events_window_stream displaced from
     # the window by the four late-r4 additions above — all r3-green
@@ -1756,7 +1761,6 @@ QUERIES = {
     "events_window_stream": q_events_window_stream,
     "lang_id_lm": q_lang_id_lm,
     "gopher_rules": q_gopher_rules,
-    "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
     "host_rank": q_host_rank,
     "dedup_clusters": q_dedup_clusters,
     "warc_roundtrip": q_warc_roundtrip,
@@ -1772,7 +1776,6 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "line_dedup": q_line_dedup,
     "sequence_pack": q_sequence_pack,
-    "decontaminate": q_decontaminate,
     "snapshot_diff": q_snapshot_diff,
     "cdx_index": q_cdx_index,
     "corpus_stats": q_corpus_stats,
