@@ -98,3 +98,54 @@ def test_bm25_term_filter_precedes_shuffle(spark):
     # printed tree) the first Exchange — i.e. upstream of it
     below_first_exchange = plan[plan.find("Exchange"):]
     assert "Filter" in below_first_exchange and "spark" in below_first_exchange
+
+
+def _bm25_reference(docs, terms, k1_micro=1_200_000, b_micro=750_000):
+    """Independent pure-Python reimplementation of the milli fixed-point
+    BM25 (follows the docstring formulas, not the Spark code)."""
+    import re
+
+    toks = {i: [t for t in re.split(r"[^a-z]+", txt.lower()) if t] for i, txt in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) // n
+    dfc = {
+        q: sum(1 for t in toks.values() if q in t) for q in terms
+    }
+    scores = {}
+    for i, t in toks.items():
+        s = 0
+        hit = 0
+        for q in terms:
+            tf = t.count(q)
+            if not tf or not dfc[q]:
+                continue
+            hit += 1
+            idf_milli = (2 * n - 2 * dfc[q] + 1) * 1000 // (2 * dfc[q] + 1)
+            norm = (1_000_000 - b_micro) + b_micro * len(t) // avgdl
+            denom = tf * 1_000_000 + k1_micro * norm // 1_000_000
+            tfn_milli = tf * (k1_micro + 1_000_000) * 1000 // denom
+            s += idf_milli * tfn_milli // 1000
+        if hit:
+            scores[i] = (s, hit)
+    return scores
+
+
+def test_bm25_matches_independent_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["spark", "window", "merge", "vector", "alpha", "beta", "gamma",
+             "delta", "x1", "y2"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    terms = ["spark", "window", "merge", "vector"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.score_milli, r.n_terms)
+        for r in textops.bm25_topk(df, terms, k=60).collect()
+    }
+    ref = _bm25_reference(docs, terms)
+    # top-60 over 60 docs = every matching doc; scores must be identical
+    assert got == ref
