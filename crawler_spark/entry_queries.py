@@ -1624,6 +1624,16 @@ def q_hybrid_rrf(spark, sf_dir):
     return similarity.rrf_fuse([lex, dense], topk=10)
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-wide boilerplate phrase mining (textops.boilerplate_ngrams):
+    top-100 word 5-grams by distinct-document frequency — the strip-list
+    pass; ONE shingle shuffle with map-side partial distinct, top-k via
+    TakeOrderedAndProject over the aggregated phrase table (the
+    vocab-sized frame is never globally sorted)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return textops.boilerplate_ngrams(d, n=5, k=100)
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsing at the contract surface (politeness.
     parse_robots_pages — the production Arrow parser the crawl bootstrap
@@ -1713,6 +1723,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "robots_rules": q_robots_rules,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     # -- newest green row is r2 (driver capped at 50 in r3) ----------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1744,7 +1755,6 @@ QUERIES = {
     "rlike_filter": q_rlike_filter,
     "regex_field_extract": q_regex_field_extract,
     "text_quality": q_text_quality,
-    "tfidf_topk": q_tfidf_topk,
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
     # ---------------- driver window ends here (50) ------------------
@@ -1753,6 +1763,7 @@ QUERIES = {
     # displaced rows r3-green and untouched since):
     "link_explode": q_link_explode,
     "link_truncate": q_link_truncate,
+    "tfidf_topk": q_tfidf_topk,
     # r3 hash-green, unchanged since CORRECTNESS_r03.json (lang_id_lm,
     # gopher_rules, sessionize and events_window_stream displaced from
     # the window by the four late-r4 additions above — all r3-green
@@ -3650,4 +3661,27 @@ ORACLES["robots_rules"] = r"""
            cast(len(prefixes) as bigint) as n_prefixes,
            md5(array_to_string(prefixes, '|')) as prefixes_md5
     from parsed
+"""
+
+ORACLES["boilerplate_ngrams"] = r"""
+    with toks as (select doc_id, string_split(text, ' ') as t from documents),
+    g as (
+      select doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] as shingle
+      from toks, unnest(generate_series(1, len(t)-4)) as u(i)
+      where len(t) >= 5
+    ),
+    agg as (
+      select shingle,
+             cast(count(distinct doc_id) as bigint) as n_docs,
+             cast(count(*) as bigint) as n_occurrences
+      from g group by 1
+    )
+    select shingle, n_docs, n_occurrences,
+           cast(row_number() over (order by n_docs desc,
+                                            n_occurrences desc,
+                                            shingle asc) as int) as rank
+    from agg
+    qualify rank <= 100
 """

@@ -1522,3 +1522,49 @@ def bm25_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ------------------------------------------------- boilerplate mining
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide boilerplate phrase mining: the ``k`` word n-grams
+    that appear in the most DISTINCT documents (plus their total
+    occurrence counts) — the frequency pass a webtext pipeline runs to
+    build its strip-list of navigation chrome, cookie banners, and
+    license footers (the n-gram analog of :func:`~crawler_spark.
+    functions.dedup.drop_common_lines`' per-line rule).
+
+    Returns ``(shingle, n_docs, n_occurrences, rank)`` ordered by
+    (n_docs desc, n_occurrences desc, shingle asc), rank <= k.
+
+    Scale shape: ONE (shingle) shuffle — per-doc dedup happens inside
+    the aggregate (count(distinct doc) partial-aggregates map-side on
+    the (shingle, doc) pairs), and the top-k is a TakeOrdered over the
+    aggregated phrase table, never a global sort of the gram stream.
+    At 10^10 docs swap the exact distinct count for
+    approx_count_distinct and keep the identical plan — boilerplate
+    mining needs ranks, not exact cardinalities (documented trade, same
+    as corpus_stats)."""
+    from .dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n, distinct=False)
+    agg = sh.groupBy("shingle").agg(
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    order = [F.desc("n_docs"), F.desc("n_occurrences"), F.asc("shingle")]
+    # orderBy+limit compiles to TakeOrderedAndProject — the vocab-sized
+    # phrase table is never globally sorted nor single-partitioned; the
+    # rank window runs AFTER the cut, over k rows only
+    top = agg.orderBy(*order).limit(k)
+    return top.select(
+        "shingle",
+        "n_docs",
+        "n_occurrences",
+        F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank"),
+    )

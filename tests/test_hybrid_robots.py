@@ -50,3 +50,41 @@ def test_robots_rules_contract_behaviors(spark):
     # prefix set is exactly hid%4+1 strong (empty Disallow ignored too)
     for hid in range(97):
         assert rows[f"h{hid}.example"].n_prefixes == hid % 4 + 1
+
+
+def test_boilerplate_ngrams_known_values(spark):
+    from crawler_spark.functions import textops
+
+    footer = "all rights reserved by example corp"
+    rows = [
+        (1, "unique words one " + footer),
+        (2, "other body text two " + footer),
+        (3, footer + " " + footer),  # repeats in-doc: occurrences > docs
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.boilerplate_ngrams(df, n=5, k=3).collect()
+    top = out[0]
+    # both footer 5-grams hit docs 1,2,3 (twice in 3); the tie breaks
+    # on shingle asc — "all rights..." sorts before "rights..."
+    assert top.rank == 1 and top.n_docs == 3
+    assert top.shingle == "all rights reserved by example"
+    assert top.n_occurrences == 4
+    assert {r.shingle for r in out[:2]} == {
+        "all rights reserved by example",
+        "rights reserved by example corp",
+    }
+    assert len(out) == 3
+
+
+def test_boilerplate_ngrams_topk_plan(spark):
+    from crawler_spark.functions import textops
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = (
+        textops.boilerplate_ngrams(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # vocab-sized phrase table cut by TakeOrdered, never globally sorted
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
