@@ -1758,16 +1758,16 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
     # ---------------- driver window ends here (50) ------------------
-    # (link_explode / link_truncate displaced by decontaminate /
-    # fuzzy_dedup_e2e, whose shingle plans changed late in r4 — both
-    # displaced rows r3-green and untouched since):
+    # Everything below is r3 hash-green (CORRECTNESS_r03.json) with its
+    # kernel untouched since that green row.  Displaced during r4 to
+    # make room, in order: lang_id_lm + gopher_rules (by ccnet_buckets +
+    # bm25_topk), sessionize + events_window_stream (by hybrid_rrf +
+    # robots_rules), link_explode + link_truncate (by decontaminate +
+    # fuzzy_dedup_e2e, whose shingle plans changed late in r4),
+    # tfidf_topk (by boilerplate_ngrams).
     "link_explode": q_link_explode,
     "link_truncate": q_link_truncate,
     "tfidf_topk": q_tfidf_topk,
-    # r3 hash-green, unchanged since CORRECTNESS_r03.json (lang_id_lm,
-    # gopher_rules, sessionize and events_window_stream displaced from
-    # the window by the four late-r4 additions above — all r3-green
-    # and their kernels untouched since):
     "sessionize": q_sessionize,
     "events_window_stream": q_events_window_stream,
     "lang_id_lm": q_lang_id_lm,
