@@ -1634,6 +1634,15 @@ def q_boilerplate_ngrams(spark, sf_dir):
     return textops.boilerplate_ngrams(d, n=5, k=100)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (textops.chunk_documents): 32-token
+    windows every 24 tokens so the sf0.01 corpus (avg ~54 tokens/doc)
+    genuinely multi-chunks; md5 over each window pins content and
+    boundary arithmetic in both engines.  Zero shuffle."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return textops.chunk_documents(d, max_tokens=32, stride=24)
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsing at the contract surface (politeness.
     parse_robots_pages — the production Arrow parser the crawl bootstrap
@@ -1724,6 +1733,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "robots_rules": q_robots_rules,
     "boilerplate_ngrams": q_boilerplate_ngrams,
+    "chunk_documents": q_chunk_documents,
     # -- newest green row is r2 (driver capped at 50 in r3) ----------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1754,7 +1764,6 @@ QUERIES = {
     "body_length_filter": q_body_length_filter,
     "rlike_filter": q_rlike_filter,
     "regex_field_extract": q_regex_field_extract,
-    "text_quality": q_text_quality,
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
     # ---------------- driver window ends here (50) ------------------
@@ -1764,8 +1773,10 @@ QUERIES = {
     # bm25_topk), sessionize + events_window_stream (by hybrid_rrf +
     # robots_rules), link_explode + link_truncate (by decontaminate +
     # fuzzy_dedup_e2e, whose shingle plans changed late in r4),
-    # tfidf_topk (by boilerplate_ngrams).
+    # tfidf_topk (by boilerplate_ngrams), text_quality (by
+    # chunk_documents).
     "link_explode": q_link_explode,
+    "text_quality": q_text_quality,
     "link_truncate": q_link_truncate,
     "tfidf_topk": q_tfidf_topk,
     "sessionize": q_sessionize,
@@ -3684,4 +3695,19 @@ ORACLES["boilerplate_ngrams"] = r"""
                                             shingle asc) as int) as rank
     from agg
     qualify rank <= 100
+"""
+
+ORACLES["chunk_documents"] = r"""
+    with toks as (select doc_id, string_split(text, ' ') as t from documents),
+    s as (
+      select doc_id, t,
+             unnest(generate_series(0, greatest(len(t)-1, 0), 24)) as start
+      from toks
+    )
+    select doc_id,
+           cast(start / 24 as bigint) as chunk_id,
+           cast(start + 1 as bigint) as start_tok,
+           cast(len(t[start+1:start+32]) as bigint) as n_tokens,
+           md5(array_to_string(t[start+1:start+32], ' ')) as chunk_md5
+    from s
 """

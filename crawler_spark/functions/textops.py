@@ -1568,3 +1568,42 @@ def boilerplate_ngrams(
         "n_occurrences",
         F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank"),
     )
+
+
+# --------------------------------------------------- document chunking
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Context-window chunking: split every document into token windows
+    of ``max_tokens`` starting every ``stride`` tokens (overlap =
+    max_tokens - stride) — the pass that prepares long documents for a
+    fixed-context trainer, upstream of :func:`sequence_pack` (which
+    packs the resulting pieces).
+
+    Returns ``(id_col, chunk_id, start_tok, n_tokens, chunk_md5)`` —
+    chunk_id = start // stride, start_tok 1-based, md5 over the
+    space-rejoined window so content (not just counts) hash-compares.
+
+    Scale shape: ZERO shuffle — chunk starts are a per-row
+    ``sequence(0, n-1, stride)`` posexplode and each window is an
+    in-row ``slice``; rows amplify by ~n/stride but never leave the
+    scan partition, and only (id, md5, ints) leave the projection.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ex = df.select(
+        F.col(id_col), toks.alias("__t"), F.explode(starts).alias("__s")
+    )
+    chunk = F.slice(F.col("__t"), F.col("__s") + 1, max_tokens)
+    return ex.select(
+        F.col(id_col),
+        (F.col("__s") / stride).cast("long").alias("chunk_id"),
+        (F.col("__s") + 1).cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

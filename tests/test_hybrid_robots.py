@@ -88,3 +88,33 @@ def test_boilerplate_ngrams_topk_plan(spark):
     # vocab-sized phrase table cut by TakeOrdered, never globally sorted
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_documents_boundaries(spark):
+    from crawler_spark.functions import textops
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "only three tokens")],
+                               "doc_id long, text string")
+    out = textops.chunk_documents(df, max_tokens=4, stride=3).collect()
+    d1 = sorted([r for r in out if r.doc_id == 1], key=lambda r: r.chunk_id)
+    # starts 0,3,6,9 -> windows [t0..t3],[t3..t6],[t6..t9],[t9]
+    assert [(r.chunk_id, r.start_tok, r.n_tokens) for r in d1] == [
+        (0, 1, 4), (1, 4, 4), (2, 7, 4), (3, 10, 1)
+    ]
+    import hashlib
+    assert d1[0].chunk_md5 == hashlib.md5(b"t0 t1 t2 t3").hexdigest()
+    assert d1[3].chunk_md5 == hashlib.md5(b"t9").hexdigest()
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 3
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    from crawler_spark.functions import textops
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        textops.chunk_documents(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
