@@ -1643,6 +1643,35 @@ def q_chunk_documents(spark, sf_dir):
     return textops.chunk_documents(d, max_tokens=32, stride=24)
 
 
+def q_registered_domain(spark, sf_dir):
+    """Public-suffix registered-domain extraction (hoststats.
+    registered_domain): the politeness/quota key at web scale is the
+    REGISTRABLE domain, not the hostname.  97 synthetic hosts derived
+    from doc_id cover multi-label suffixes (co.uk, github.io,
+    blogspot.com), the '*' default rule (.example), and depth > 2
+    subdomains; the DuckDB oracle replays the longest-listed-suffix
+    pick over the identical curated PSL subset."""
+    from .functions.hoststats import registered_domain
+
+    hid = F.col("hid")
+    hosts = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 97).alias("hid"))
+        .distinct()
+    )
+    shape = (hid % 5).cast("int")
+    host = (
+        F.when(shape == 0, F.concat(F.lit("shop"), hid, F.lit(".co.uk")))
+        .when(shape == 1, F.concat(F.lit("www.site"), hid, F.lit(".com")))
+        .when(shape == 2, F.concat(F.lit("a.b.site"), hid, F.lit(".github.io")))
+        .when(shape == 3, F.concat(F.lit("site"), hid, F.lit(".example")))
+        .otherwise(F.concat(F.lit("cdn"), hid, F.lit(".blogspot.com")))
+    )
+    return hosts.select(host.alias("host")).select(
+        "host", registered_domain("host").alias("reg_domain")
+    )
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsing at the contract surface (politeness.
     parse_robots_pages — the production Arrow parser the crawl bootstrap
@@ -1734,6 +1763,7 @@ QUERIES = {
     "robots_rules": q_robots_rules,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "chunk_documents": q_chunk_documents,
+    "registered_domain": q_registered_domain,
     # -- newest green row is r2 (driver capped at 50 in r3) ----------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1762,7 +1792,6 @@ QUERIES = {
     "dedup_anti_join": q_dedup_anti_join,
     "priority_topk": q_priority_topk,
     "body_length_filter": q_body_length_filter,
-    "rlike_filter": q_rlike_filter,
     "regex_field_extract": q_regex_field_extract,
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
@@ -1774,8 +1803,9 @@ QUERIES = {
     # robots_rules), link_explode + link_truncate (by decontaminate +
     # fuzzy_dedup_e2e, whose shingle plans changed late in r4),
     # tfidf_topk (by boilerplate_ngrams), text_quality (by
-    # chunk_documents).
+    # chunk_documents), rlike_filter (by registered_domain).
     "link_explode": q_link_explode,
+    "rlike_filter": q_rlike_filter,
     "text_quality": q_text_quality,
     "link_truncate": q_link_truncate,
     "tfidf_topk": q_tfidf_topk,
@@ -3710,4 +3740,40 @@ ORACLES["chunk_documents"] = r"""
            cast(len(t[start+1:start+32]) as bigint) as n_tokens,
            md5(array_to_string(t[start+1:start+32], ' ')) as chunk_md5
     from s
+"""
+
+
+from .functions.hoststats import PUBLIC_SUFFIXES as _PSL
+
+ORACLES["registered_domain"] = f"""
+    with hosts as (
+      select distinct doc_id % 97 as hid from documents
+    ), h as (
+      select case cast(hid % 5 as int)
+        when 0 then 'shop' || hid || '.co.uk'
+        when 1 then 'www.site' || hid || '.com'
+        when 2 then 'a.b.site' || hid || '.github.io'
+        when 3 then 'site' || hid || '.example'
+        else 'cdn' || hid || '.blogspot.com'
+      end as host from hosts
+    ), lab as (
+      select host, string_split(host, '.') as l from h
+    ), sfx as (
+      select host, l,
+             list_filter(
+               list_transform(generate_series(1, len(l)),
+                              i -> array_to_string(l[i:len(l)], '.')),
+               s -> list_contains({list(_PSL)!r}, s)) as cand
+      from lab
+    ), pick as (
+      select host, l,
+             coalesce(cand[1], l[len(l)]) as psfx
+      from sfx
+    )
+    select host,
+           case when len(l) > len(string_split(psfx, '.'))
+                then array_to_string(
+                       l[len(l) - len(string_split(psfx, '.')):len(l)], '.')
+                else null end as reg_domain
+    from pick
 """

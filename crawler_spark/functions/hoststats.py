@@ -125,3 +125,52 @@ def tag_blocked(
     return out.withColumn(out_col, F.coalesce(F.col("__hit"), F.lit(False))).drop(
         "__hit"
     )
+
+
+# ------------------------------------------------ registered domain
+# Curated subset of the Public Suffix List (publicsuffix.org — public
+# data); the seam for a full-PSL deployment is the `suffixes` argument.
+# Multi-label entries first-class: politeness/quota keys at web scale
+# group by REGISTRABLE domain, not hostname (shop.example.co.uk and
+# www.example.co.uk are one crawl-budget owner; example.co.uk and
+# other.co.uk are not).
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "com", "net", "org", "io", "dev", "app", "info", "biz", "xyz",
+    "gov", "edu", "mil", "co", "us", "uk", "de", "fr", "jp", "cn",
+    "ru", "br", "in", "au",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in", "co.kr", "com.tw", "com.sg", "co.za",
+    "github.io", "blogspot.com",
+)
+
+
+def registered_domain(
+    host, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
+) -> "F.Column":
+    """Registrable (PSL) domain of a hostname, pure scan-local
+    expressions — no UDF, no join (the suffix list is a compile-time
+    IN literal; a full PSL at ~9k rows would swap this for the same
+    broadcast suffix join tag_blocked uses).
+
+    Rules (PSL algorithm on the curated list):
+    - longest listed suffix wins (host_suffixes is longest-first, so
+      the FIRST listed match is the longest listed one);
+    - registered domain = matched suffix plus ONE more label;
+    - a host that IS a public suffix has no registrable domain (null);
+    - no listed match -> the default '*' rule: the last label is the
+      public suffix (single-label hosts -> null).
+    """
+    host = F.col(host) if isinstance(host, str) else host
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    cand = F.filter(host_suffixes(host), lambda s: s.isin(*suffixes))
+    psfx = F.coalesce(
+        F.get(cand, 0),  # strict element_at throws on empty; get -> null
+        F.element_at(labels, -1),  # '*' default rule
+    )
+    k = F.size(F.split(psfx, r"\."))
+    return F.when(
+        n > k, F.array_join(F.slice(labels, n - k, k + 1), ".")
+    ).otherwise(F.lit(None).cast("string"))

@@ -118,3 +118,39 @@ def test_chunk_documents_zero_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_registered_domain_psl_semantics(spark):
+    from crawler_spark.functions.hoststats import registered_domain
+
+    cases = {
+        "shop.example.co.uk": "example.co.uk",   # multi-label suffix
+        "www.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "co.uk": None,                            # host IS a public suffix
+        "a.b.site.github.io": "site.github.io",   # private-section entry
+        "github.io": None,
+        "www.site.com": "site.com",
+        "com": None,
+        "site7.example": "site7.example",         # '*' default rule
+        "example": None,                          # single-label unknown TLD
+        "deep.www.site7.example": "site7.example",
+        "x.blogspot.com": "x.blogspot.com",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r.host: r.reg for r in
+           df.select("host", registered_domain("host").alias("reg")).collect()}
+    assert got == cases
+
+
+def test_registered_domain_scan_local(spark):
+    from crawler_spark.functions.hoststats import registered_domain
+
+    df = spark.createDataFrame([("a.b.com",)], "host string")
+    plan = (
+        df.select(registered_domain("host"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # pure expressions: no Exchange, no join, no Python stage
+    for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
