@@ -1643,6 +1643,52 @@ def q_chunk_documents(spark, sf_dir):
     return textops.chunk_documents(d, max_tokens=32, stride=24)
 
 
+def q_feed_parse(spark, sf_dir):
+    """RSS/Atom feed ingestion (feeds.parse_feeds): one synthetic feed
+    per host (97, derived from doc_id like every host-keyed row) —
+    even hids serve RSS 2.0 <item> blocks (link as element text), odd
+    hids Atom <entry> blocks (link as href attribute), 1-3 entries
+    each.  Body strings are pure functions of the host id built
+    identically in the DuckDB oracle, which parses them with its own
+    regexes — the freshness-discovery twin of sitemap_parse."""
+    from .functions.feeds import parse_feeds
+
+    hid = F.col("hid")
+    hosts = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 97).alias("hid"))
+        .distinct()
+    )
+    link = lambda j: F.concat(
+        F.lit("http://h"), hid, F.lit(".example/post/"), j.cast("string")
+    )
+    title = lambda j: F.concat(
+        F.lit("Post "), j.cast("string"), F.lit(" on h"), hid
+    )
+    rss_item = lambda j: F.concat(
+        F.lit("<item><title>"), title(j), F.lit("</title><link>"), link(j),
+        F.lit("</link><pubDate>0"), (j + 1).cast("string"),
+        F.lit(" Jan 2026 00:00:00 GMT</pubDate></item>"),
+    )
+    atom_entry = lambda j: F.concat(
+        F.lit("<entry><title>"), title(j), F.lit('</title><link href="'),
+        link(j), F.lit('"/><updated>2026-01-0'), (j + 1).cast("string"),
+        F.lit("T00:00:00Z</updated></entry>"),
+    )
+    js = F.sequence(F.lit(0), (hid % 3).cast("int"))
+    body = F.when(
+        hid % 2 == 0,
+        F.concat(F.lit("<rss><channel>"),
+                 F.concat_ws("", F.transform(js, rss_item)),
+                 F.lit("</channel></rss>")),
+    ).otherwise(
+        F.concat(F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+                 F.concat_ws("", F.transform(js, atom_entry)),
+                 F.lit("</feed>")),
+    )
+    return parse_feeds(hosts.select(body.alias("xml")))
+
+
 def q_registered_domain(spark, sf_dir):
     """Public-suffix registered-domain extraction (hoststats.
     registered_domain): the politeness/quota key at web scale is the
@@ -1764,6 +1810,7 @@ QUERIES = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "chunk_documents": q_chunk_documents,
     "registered_domain": q_registered_domain,
+    "feed_parse": q_feed_parse,
     # -- newest green row is r2 (driver capped at 50 in r3) ----------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1791,7 +1838,6 @@ QUERIES = {
     "schedule_round": q_schedule_round,
     "dedup_anti_join": q_dedup_anti_join,
     "priority_topk": q_priority_topk,
-    "body_length_filter": q_body_length_filter,
     "regex_field_extract": q_regex_field_extract,
     "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
@@ -1803,8 +1849,10 @@ QUERIES = {
     # robots_rules), link_explode + link_truncate (by decontaminate +
     # fuzzy_dedup_e2e, whose shingle plans changed late in r4),
     # tfidf_topk (by boilerplate_ngrams), text_quality (by
-    # chunk_documents), rlike_filter (by registered_domain).
+    # chunk_documents), rlike_filter (by registered_domain),
+    # body_length_filter (by feed_parse).
     "link_explode": q_link_explode,
+    "body_length_filter": q_body_length_filter,
     "rlike_filter": q_rlike_filter,
     "text_quality": q_text_quality,
     "link_truncate": q_link_truncate,
@@ -3776,4 +3824,52 @@ ORACLES["registered_domain"] = f"""
                        l[len(l) - len(string_split(psfx, '.')):len(l)], '.')
                 else null end as reg_domain
     from pick
+"""
+
+
+ORACLES["feed_parse"] = r"""
+    with hosts as (
+      select distinct doc_id % 97 as hid from documents
+    ), bodies as (
+      select hid,
+        case when hid % 2 = 0 then
+          '<rss><channel>' || array_to_string(
+            list_transform(generate_series(0, cast(hid % 3 as int)),
+              j -> '<item><title>Post ' || j || ' on h' || hid
+                   || '</title><link>http://h' || hid || '.example/post/'
+                   || j || '</link><pubDate>0' || (j + 1)
+                   || ' Jan 2026 00:00:00 GMT</pubDate></item>'), '')
+          || '</channel></rss>'
+        else
+          '<feed xmlns="http://www.w3.org/2005/Atom">' || array_to_string(
+            list_transform(generate_series(0, cast(hid % 3 as int)),
+              j -> '<entry><title>Post ' || j || ' on h' || hid
+                   || '</title><link href="http://h' || hid
+                   || '.example/post/' || j || '"/><updated>2026-01-0'
+                   || (j + 1) || 'T00:00:00Z</updated></entry>'), '')
+          || '</feed>'
+        end as xml
+      from hosts
+    ), rss as (
+      select unnest(regexp_extract_all(xml, '(?s)<item>(.*?)</item>', 1)) as b,
+             'rss' as kind
+      from bodies where hid % 2 = 0
+    ), atom as (
+      select unnest(regexp_extract_all(xml, '(?s)<entry>(.*?)</entry>', 1)) as b,
+             'atom' as kind
+      from bodies where hid % 2 = 1
+    ), blocks as (
+      select b, kind,
+             case when kind = 'rss'
+                  then regexp_extract(b, '<link>\s*([^<\s][^<]*?)\s*</link>', 1)
+                  else regexp_extract(b, '<link[^>]*href="([^"]+)"', 1)
+             end as url,
+             regexp_extract(b, '(?s)<title>\s*(.*?)\s*</title>', 1) as title,
+             case when kind = 'rss'
+                  then regexp_extract(b, '<pubDate>\s*([^<]+?)\s*</pubDate>', 1)
+                  else regexp_extract(b, '<updated>\s*([^<]+?)\s*</updated>', 1)
+             end as published
+      from (select b, kind from rss union all select b, kind from atom)
+    )
+    select url, title, published, kind from blocks where url <> ''
 """
