@@ -75,6 +75,10 @@ class CrawlConfig:
     ban_marker: str = corpus_mod.BAN_MARKER
     max_attempts: int = 2  # 1 re-push then park (crawler.go:188-192)
     salt_buckets: int = 1
+    # politeness budget key: "host" (reference-equivalent, oracle-pinned)
+    # or "registered_domain" (one budget per PSL registrable domain —
+    # subdomain fan-out can't multiply a site's crawl rate)
+    politeness_key: str = "host"
     use_bloom: bool = True
     bloom_fpp: float = 0.01
     # below this seen-set size the bloom build costs more than the exact
@@ -459,7 +463,8 @@ def run_round(
         cand, robots_df, cfg.round_seconds, broadcast_robots=robots_small
     ).persist()
     scheduled, deferred = rank_by_budget(
-        cand, cfg.tasks, cfg.round_seconds, cfg.salt_buckets
+        cand, cfg.tasks, cfg.round_seconds, cfg.salt_buckets,
+        politeness_key=cfg.politeness_key,
     )
     scheduled = scheduled.select(*FRONTIER_COLS).persist()
     deferred = deferred.select(*FRONTIER_COLS)

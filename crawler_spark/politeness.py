@@ -192,12 +192,21 @@ def rank_by_budget(
     tasks: dict[str, Task],
     round_seconds: float,
     salt_buckets: int = 1,
+    politeness_key: str = "host",
 ) -> tuple[DataFrame, DataFrame]:
     """-> (scheduled, deferred) via per-host top-k under SCHED_ORDER.
 
     Budget = min(base token-bucket budget, robots crawl-delay budget).
     Deferred rows stay pending for the next round — phase 1 *defers*,
     never drops.
+
+    ``politeness_key``: "host" (default — the reference-equivalent
+    semantics the oracle suite pins) or "registered_domain" — one
+    budget per REGISTRABLE domain (hoststats.registered_domain, PSL),
+    so a site fanning out across subdomains (shard0..shard999.cdn.
+    example.co.uk) cannot multiply its crawl rate; hosts with no
+    registrable domain (bare public suffixes, IPs) fall back to the
+    hostname.
     """
     df = candidates.withColumn(
         "_budget",
@@ -206,21 +215,36 @@ def rank_by_budget(
             F.coalesce(F.col("robots_budget"), F.lit(1 << 30)),
         ),
     ).drop("robots_budget")
+    if politeness_key == "registered_domain":
+        from .functions.hoststats import registered_domain
+
+        df = df.withColumn(
+            "_pkey", F.coalesce(registered_domain("host"), F.col("host"))
+        )
+    elif politeness_key == "host":
+        df = df.withColumn("_pkey", F.col("host"))
+    else:
+        raise ValueError(f"unknown politeness_key: {politeness_key!r}")
     deferred_parts: list[DataFrame] = []
     if salt_buckets > 1:
         df = df.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)))
-        w1 = Window.partitionBy("task_name", "host", "_salt").orderBy(*sched_order())
+        w1 = Window.partitionBy("task_name", "_pkey", "_salt").orderBy(*sched_order())
         df = df.withColumn("_rn1", F.row_number().over(w1))
         deferred_parts.append(
-            df.where(F.col("_rn1") > F.col("_budget")).drop("_rn1", "_salt", "_budget")
+            df.where(F.col("_rn1") > F.col("_budget"))
+            .drop("_rn1", "_salt", "_budget", "_pkey")
         )
         # phase 1 keeps <= salt_buckets x budget rows per host (parallel
         # across salts); phase 2 is exact on that small survivor set
         df = df.where(F.col("_rn1") <= F.col("_budget")).drop("_rn1", "_salt")
-    w2 = Window.partitionBy("task_name", "host").orderBy(*sched_order())
+    w2 = Window.partitionBy("task_name", "_pkey").orderBy(*sched_order())
     df = df.withColumn("_rn", F.row_number().over(w2))
-    scheduled = df.where(F.col("_rn") <= F.col("_budget")).drop("_rn", "_budget")
-    deferred_parts.append(df.where(F.col("_rn") > F.col("_budget")).drop("_rn", "_budget"))
+    scheduled = df.where(F.col("_rn") <= F.col("_budget")).drop(
+        "_rn", "_budget", "_pkey"
+    )
+    deferred_parts.append(
+        df.where(F.col("_rn") > F.col("_budget")).drop("_rn", "_budget", "_pkey")
+    )
     deferred = deferred_parts[0]
     for d in deferred_parts[1:]:
         deferred = deferred.unionByName(d)

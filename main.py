@@ -54,6 +54,13 @@ def main() -> int:
     ap.add_argument("--max-depth", type=int, default=5)
     ap.add_argument("--round-seconds", type=float, default=30.0)
     ap.add_argument("--salt-buckets", type=int, default=4)
+    ap.add_argument(
+        "--politeness-key", choices=["host", "registered_domain"],
+        default="host",
+        help="budget granularity: per hostname (reference-equivalent) "
+             "or per PSL registrable domain (subdomain fan-out shares "
+             "one budget)",
+    )
     ap.add_argument("--max-rounds", type=int, default=64)
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument(
@@ -119,6 +126,7 @@ def main() -> int:
         robots_path=args.robots,
         round_seconds=args.round_seconds,
         salt_buckets=args.salt_buckets,
+        politeness_key=args.politeness_key,
         use_bloom=not args.no_bloom,
         seen_filter=args.seen_filter,
         charset_sniff=args.charset_sniff,

@@ -186,3 +186,44 @@ def test_parse_feeds_scan_local(spark):
     plan = parse_feeds(df)._jdf.queryExecution().executedPlan().toString()
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_rank_by_budget_registered_domain_key(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.politeness import rank_by_budget
+    from crawler_spark.rules import synthetic_tasks
+
+    tasks = synthetic_tasks(n_book_hosts=1, n_sun_hosts=0)
+    tname = next(iter(tasks))
+    # 3 subdomains of ONE registrable domain + 1 separate domain,
+    # 2 rows each; robots unconstrained
+    rows = []
+    seq = 0
+    for host in ("a.site.co.uk", "b.site.co.uk", "c.site.co.uk",
+                 "other.co.uk"):
+        for j in range(2):
+            rows.append((tname, host, f"http://{host}/p{j}", seq, 5, None))
+            seq += 1
+    df = spark.createDataFrame(
+        rows,
+        "task_name string, host string, url string, seq long, "
+        "priority int, robots_budget int",
+    ).withColumn("url_hash", F.xxhash64("url"))
+    # force budget = 3 rows per key via robots_budget (base budget large)
+    df = df.withColumn("robots_budget", F.lit(3))
+
+    sched_h, _ = rank_by_budget(df, tasks, 30.0, politeness_key="host")
+    sched_d, _ = rank_by_budget(
+        df, tasks, 30.0, politeness_key="registered_domain"
+    )
+    by_host = len(sched_h.collect())
+    # host key: every host under budget -> all 8 scheduled
+    assert by_host == 8
+    got = sched_d.collect()
+    # registrable-domain key: site.co.uk fan-out shares ONE budget of 3;
+    # other.co.uk keeps its own 2
+    assert len(got) == 5
+    assert sum(1 for r in got if r.host.endswith("site.co.uk")) == 3
+    # output schema unchanged (no _pkey leakage)
+    assert "_pkey" not in sched_d.columns
