@@ -161,15 +161,19 @@ def main() -> None:
     # 9. decontamination: broadcast probe, corpus never shuffled pre-join
     sections.append((
         "decontaminate (broadcast benchmark-shingle probe)",
-        "Witness: the corpus branch reaches the join with NO exchange —\n"
-        "FileScan → Generate (explode trigrams) → BroadcastHashJoin(BuildRight =\n"
-        "benchmark shingle set).  The corpus shingle stream is deliberately NOT\n"
+        "Witness: the corpus branch reaches the join with no KEY shuffle —\n"
+        "FileScan → [gated fan-out: a RoundRobinPartitioning exchange that\n"
+        "appears ONLY when the local file arrives as a single split; on a real\n"
+        "multi-split table the gate is a no-op] → Generate (explode trigrams)\n"
+        "→ BroadcastHashJoin(BuildRight = benchmark shingle set).  No\n"
+        "HashPartitioning of the corpus anywhere before the probe.  The corpus\n"
+        "shingle stream is deliberately NOT\n"
         "pre-deduplicated (`shingles(distinct=False)`): filter-then-distinct ≡\n"
         "distinct-then-filter for the hit count, and the former moves the\n"
-        "(doc, shingle) dedup AFTER the probe, so the only exchanges in the plan\n"
-        "carry contaminated shingles only (partial distinct map-side first).\n"
-        "At 100 TB the corpus is streamed once; the benchmark set (an eval\n"
-        "suite, MB-scale) is the broadcast build side.",
+        "(doc, shingle) dedup AFTER the probe, so the only KEY exchanges in the\n"
+        "plan carry contaminated shingles only (partial distinct map-side\n"
+        "first).  At 100 TB the corpus is streamed once; the benchmark set (an\n"
+        "eval suite, MB-scale) is the broadcast build side.",
         explain_str(QUERIES["decontaminate"](spark, "/root/testdata/sf0.001")),
     ))
 
@@ -235,8 +239,10 @@ def main() -> None:
         "MapInPandas text below repeats only inside the cached relation's\n"
         "description); the pair-qualification join is the capped\n"
         "inverted-index fp join (no all-pairs); the interval merge is ONE\n"
-        "window over (doc, pos) — only (doc, fp, pos) triples shuffle,\n"
-        "text bytes never do.",
+        "window over (doc, pos) — only (doc, fp, pos) triples move on a\n"
+        "KEY shuffle; the sole exchange carrying text is the gated\n"
+        "fan-out RoundRobin ahead of the Arrow pass (single-local-split\n"
+        "only; a no-op on a real multi-split table).",
         explain_str(QUERIES["substring_scrub"](spark, "/root/testdata/sf0.001")),
     ))
 
