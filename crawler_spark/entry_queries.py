@@ -1718,6 +1718,55 @@ def q_registered_domain(spark, sf_dir):
     )
 
 
+def q_domain_split(spark, sf_dir):
+    """Leakage-free train/dev/test split keyed by PSL registrable
+    domain (hoststats.domain_split): docs from the same registrable
+    domain can never straddle the train/eval boundary.  Hosts are the
+    q_registered_domain synthesis (multi-label suffixes, '*' default
+    rule, deep subdomains) attached per doc, so shop{h}.co.uk and any
+    sibling subdomains hash as ONE domain; the DuckDB oracle replays
+    the PSL pick, the md5 bucket, and the cumulative-weight CASE chain
+    over identical synthesized hosts."""
+    from .functions.hoststats import domain_split
+
+    hid = F.col("doc_id") % 97
+    shape = (hid % 5).cast("int")
+    host = (
+        F.when(shape == 0, F.concat(F.lit("shop"), hid, F.lit(".co.uk")))
+        .when(shape == 1, F.concat(F.lit("www.site"), hid, F.lit(".com")))
+        .when(shape == 2, F.concat(F.lit("a.b.site"), hid, F.lit(".github.io")))
+        .when(shape == 3, F.concat(F.lit("site"), hid, F.lit(".example")))
+        .otherwise(F.concat(F.lit("cdn"), hid, F.lit(".blogspot.com")))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", host.alias("host"))
+    return domain_split(docs, host_col="host")
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budget corpus selection (textops.select_to_token_budget):
+    fill a 10k-token budget best-quality-first without a global sort —
+    score = integer alpha-character fraction (micro), tokens =
+    whitespace count, histogram threshold + deterministic hash-order
+    boundary fill.  The oracle replays the identical integer
+    arithmetic: bin histogram, descending cumulative window, boundary
+    remainder, md5-ordered prefix fill."""
+    from .functions.textops import select_to_token_budget
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "(1000000 * cast(length(regexp_replace(text, '[^A-Za-z]', ''))"
+            " as bigint)) div greatest(cast(length(text) as bigint), 1)"
+        ).cast("long").alias("score_micro"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = select_to_token_budget(d, budget_tokens=10_000)
+    return out.select(
+        "doc_id", "score_micro", "n_tokens",
+        F.col("bin").cast("long").alias("bin"), "kept",
+    )
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsing at the contract surface (politeness.
     parse_robots_pages — the production Arrow parser the crawl bootstrap
@@ -1811,6 +1860,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "registered_domain": q_registered_domain,
     "feed_parse": q_feed_parse,
+    "domain_split": q_domain_split,
+    "token_budget": q_token_budget,
     # -- newest green row is r2 (driver capped at 50 in r3) ----------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1838,8 +1889,6 @@ QUERIES = {
     "schedule_round": q_schedule_round,
     "dedup_anti_join": q_dedup_anti_join,
     "priority_topk": q_priority_topk,
-    "regex_field_extract": q_regex_field_extract,
-    "fingerprint": q_fingerprint,
     "repetition_scores": q_repetition_scores,
     # ---------------- driver window ends here (50) ------------------
     # Everything below is r3 hash-green (CORRECTNESS_r03.json) with its
@@ -1850,7 +1899,11 @@ QUERIES = {
     # fuzzy_dedup_e2e, whose shingle plans changed late in r4),
     # tfidf_topk (by boilerplate_ngrams), text_quality (by
     # chunk_documents), rlike_filter (by registered_domain),
-    # body_length_filter (by feed_parse).
+    # body_length_filter (by feed_parse), regex_field_extract +
+    # fingerprint (by domain_split + token_budget — both r3-green with
+    # untouched kernels, the least-stale displacement available).
+    "regex_field_extract": q_regex_field_extract,
+    "fingerprint": q_fingerprint,
     "link_explode": q_link_explode,
     "body_length_filter": q_body_length_filter,
     "rlike_filter": q_rlike_filter,
@@ -3872,4 +3925,93 @@ ORACLES["feed_parse"] = r"""
       from (select b, kind from rss union all select b, kind from atom)
     )
     select url, title, published, kind from blocks where url <> ''
+"""
+
+
+ORACLES["domain_split"] = f"""
+    with d as (
+      select doc_id, doc_id % 97 as hid from documents
+    ), h as (
+      select doc_id, case cast(hid % 5 as int)
+        when 0 then 'shop' || hid || '.co.uk'
+        when 1 then 'www.site' || hid || '.com'
+        when 2 then 'a.b.site' || hid || '.github.io'
+        when 3 then 'site' || hid || '.example'
+        else 'cdn' || hid || '.blogspot.com'
+      end as host from d
+    ), lab as (
+      select doc_id, host, string_split(host, '.') as l from h
+    ), sfx as (
+      select doc_id, host, l,
+             list_filter(
+               list_transform(generate_series(1, len(l)),
+                              i -> array_to_string(l[i:len(l)], '.')),
+               s -> list_contains({list(_PSL)!r}, s)) as cand
+      from lab
+    ), pick as (
+      select doc_id, host, l, coalesce(cand[1], l[len(l)]) as psfx
+      from sfx
+    ), rd as (
+      select doc_id, host,
+             case when len(l) > len(string_split(psfx, '.'))
+                  then array_to_string(
+                         l[len(l) - len(string_split(psfx, '.')):len(l)], '.')
+                  else null end as reg_domain
+      from pick
+    ), bkt as (
+      select doc_id, host,
+             cast(concat('0x', substr(md5(
+                    'split|' || coalesce(reg_domain, host)), 1, 8))
+                  as bigint) % 1000000 as b
+      from rd
+    )
+    select doc_id, host,
+           case when b < 800000 then 'train'
+                when b < 900000 then 'dev'
+                else 'test' end as split
+    from bkt
+"""
+
+
+ORACLES["token_budget"] = r"""
+    with d as (
+      select doc_id,
+             (1000000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+               // greatest(length(text), 1) as score_micro,
+             cast(len(string_split_regex(text, '\s+')) as bigint) as n_tokens
+      from documents
+    ), b as (
+      select *, score_micro // 5000 as bin from d
+    ), hist as (
+      select bin, sum(n_tokens) as bt from b group by 1
+    ), mark as (
+      select bin,
+             coalesce(sum(bt) over (order by bin desc
+               rows between unbounded preceding and 1 preceding), 0)
+               as cum_excl,
+             bt
+      from hist
+    ), m2 as (
+      select bin, (cum_excl + bt <= 10000) as is_full,
+             (cum_excl <= 10000 and 10000 < cum_excl + bt) as is_bnd,
+             10000 - cum_excl as rem
+      from mark
+    ), tagged as (
+      select b.doc_id, b.score_micro, b.n_tokens, b.bin,
+             m2.is_full, m2.is_bnd, m2.rem
+      from b join m2 using (bin)
+    ), bnd as (
+      select doc_id, score_micro, n_tokens, bin,
+             (sum(n_tokens) over (
+                order by cast(concat('0x', substr(md5(
+                           'budget|' || cast(doc_id as varchar)), 1, 8))
+                         as bigint) % 1000000 asc, doc_id asc
+                rows between unbounded preceding and current row) <= rem)
+               as kept
+      from tagged where is_bnd
+    )
+    select doc_id, score_micro, n_tokens, bin, is_full as kept
+    from tagged where not is_bnd
+    union all
+    select doc_id, score_micro, n_tokens, bin, kept from bnd
 """

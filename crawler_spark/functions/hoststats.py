@@ -146,6 +146,53 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
 )
 
 
+def domain_split(
+    df: DataFrame,
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 800_000),
+        ("dev", 100_000),
+        ("test", 100_000),
+    ),
+    host_col: str = "host",
+    out_col: str = "split",
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-free train/dev/test assignment keyed by REGISTRABLE
+    domain: every document is tagged with the split its registrable
+    domain (PSL, :func:`registered_domain`; hostname fallback when the
+    host has none) hashes into, so no domain ever straddles the
+    train/eval boundary — the standard web-corpus decontamination
+    practice (doc-granularity splits leak near-duplicate boilerplate,
+    templates, and mirrored pages from the same site into eval; the
+    reference crawler has no analog because it never partitions data).
+
+    ``splits`` is an ordered list of (name, weight_micro) summing to
+    1e6; assignment = the first split whose cumulative weight exceeds
+    the doc's domain hash bucket (md5-derived, :func:`textops.
+    hash_bucket_micro` convention, so DuckDB reproduces the exact
+    assignment).  Deterministic: a pure function of (domain, seed) —
+    re-ingesting the corpus, repartitioning, or adding new docs from a
+    known domain never moves existing domains across splits.
+
+    Scale shape: ZERO shuffle — registrable-domain extraction, the
+    hash, and the cumulative-weight CASE chain are all scan-local
+    codegen expressions; there is no per-domain aggregation because the
+    assignment depends only on the domain string itself.
+    """
+    total = sum(w for _, w in splits)
+    if total != 1_000_000:
+        raise ValueError(f"split weights must sum to 1e6 micro, got {total}")
+    key = F.coalesce(registered_domain(host_col), F.col(host_col))
+    bucket = textops.hash_bucket_micro(key, seed)
+    cum = 0
+    expr = None
+    for name, w in splits:
+        cum += w
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
 def registered_domain(
     host, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
 ) -> "F.Column":

@@ -1207,6 +1207,73 @@ def sample_host_cap(
     )
 
 
+def select_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score_micro",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bin_width: int = 5000,
+    seed: str = "budget",
+) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality documents
+    whose token counts fill ``budget_tokens``, WITHOUT a global sort —
+    the curation step every corpus release runs ("fill a 1.4T-token
+    budget best-quality-first") done the way it survives 100 TB.
+
+    Shape: (1) bin each doc's integer quality score (``score_col``,
+    micro units in [0, 1e6]) into ``score_micro div bin_width`` buckets;
+    (2) aggregate token counts per bin — a <=201-row histogram, partial-
+    aggregated map-side; (3) a window over that tiny histogram finds the
+    BOUNDARY bin: every bin strictly above it fits the budget whole, the
+    boundary bin is filled greedily in deterministic hash order
+    (bucket, id — :func:`hash_bucket_micro`, so the kept set is a pure
+    function of the data and reproducible in DuckDB), bins below are
+    dropped.  The only per-doc sort is the boundary bin's own documents
+    (~1/n_bins of the corpus in expectation); the corpus itself is never
+    globally sorted.  Greedy prefix fill, not knapsack: a boundary doc
+    whose tokens overflow the remainder is dropped and the fill stops —
+    deterministic and unbiased, residual error bounded by one bin.
+
+    If one boundary bin still exceeds a sort budget at extreme scale,
+    recurse: re-bin the boundary bin by the hash bucket itself —
+    same histogram-threshold trick, documented not default.
+
+    Returns every input row plus ``bin`` and boolean ``kept``.
+    """
+    b = F.lit(int(budget_tokens))
+    binned = df.withColumn(
+        "bin", F.expr(f"{score_col} div {int(bin_width)}").cast("long")
+    )
+    hist = binned.groupBy("bin").agg(F.sum(tokens_col).alias("__bt"))
+    wdesc = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mark = (
+        hist.withColumn(
+            "__cum_excl", F.coalesce(F.sum("__bt").over(wdesc), F.lit(0))
+        )
+        .select(
+            "bin",
+            (F.col("__cum_excl") + F.col("__bt") <= b).alias("__full"),
+            ((F.col("__cum_excl") <= b) & (b < F.col("__cum_excl") + F.col("__bt"))).alias(
+                "__bnd"
+            ),
+            (b - F.col("__cum_excl")).alias("__rem"),
+        )
+    )
+    tagged = binned.join(F.broadcast(mark), "bin")
+    rest = tagged.where(~F.col("__bnd")).withColumn("kept", F.col("__full"))
+    wfill = Window.orderBy(
+        hash_bucket_micro(F.col(id_col), seed=seed), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    bnd = tagged.where(F.col("__bnd")).withColumn(
+        "kept", F.sum(tokens_col).over(wfill) <= F.col("__rem")
+    )
+    return rest.unionByName(bnd).drop("__bt", "__full", "__bnd", "__rem")
+
+
 # ------------------------------------------------------ DSIR importance
 def dsir_importance(
     corpus: DataFrame,

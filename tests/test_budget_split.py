@@ -1,0 +1,124 @@
+"""Token-budget corpus selection and registrable-domain train/dev/test
+splits: greedy fill never overshoots, boundary fill is hash-ordered and
+deterministic, and no registrable domain straddles a split boundary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import textops
+from crawler_spark.functions.hoststats import domain_split
+
+
+def _scored(spark, n=400):
+    # scores 0..1e6 in coarse steps so several docs share each bin;
+    # token counts vary so the boundary fill is non-trivial.
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 50) * 20_000).cast("long").alias("score_micro"),
+        ((F.col("id") % 7) + 1).cast("long").alias("n_tokens"),
+    )
+
+
+def test_budget_never_overshot_and_deterministic(spark):
+    docs = _scored(spark)
+    out = textops.select_to_token_budget(docs, budget_tokens=300)
+    rows = out.collect()
+    assert len(rows) == 400  # every input row labeled
+    kept = [r for r in rows if r.kept]
+    assert 0 < sum(r.n_tokens for r in kept) <= 300
+    again = {
+        (r.doc_id, r.kept)
+        for r in textops.select_to_token_budget(docs, budget_tokens=300).collect()
+    }
+    assert {(r.doc_id, r.kept) for r in rows} == again
+
+
+def test_budget_prefers_higher_bins(spark):
+    docs = _scored(spark)
+    out = textops.select_to_token_budget(docs, budget_tokens=300).collect()
+    kept_bins = {r.bin for r in out if r.kept}
+    drop_bins = {r.bin for r in out if not r.kept}
+    # Bins split three ways: fully kept above the boundary, mixed at the
+    # boundary (at most one), fully dropped below.
+    mixed = kept_bins & drop_bins
+    assert len(mixed) <= 1
+    if mixed:
+        (b,) = mixed
+        assert all(k > b for k in kept_bins - mixed)
+        assert all(d < b for d in drop_bins - mixed)
+
+
+def test_budget_larger_than_corpus_keeps_all(spark):
+    docs = _scored(spark, n=50)
+    out = textops.select_to_token_budget(docs, budget_tokens=10_000_000)
+    assert out.where(~F.col("kept")).count() == 0
+
+
+def test_budget_boundary_fill_is_hash_prefix(spark):
+    # One bin only: every doc has the same score, so the whole corpus is
+    # the boundary bin and the kept set must be the hash-order prefix.
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit(500_000).cast("long").alias("score_micro"),
+        F.lit(5).cast("long").alias("n_tokens"),
+    )
+    out = textops.select_to_token_budget(docs, budget_tokens=100).collect()
+    kept = {r.doc_id for r in out if r.kept}
+    assert len(kept) == 20  # 100 tokens / 5 per doc
+    # Recompute the hash order exactly as the kernel does (md5 prefix).
+    import hashlib
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"budget|{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % 1_000_000
+
+    order = sorted((r.doc_id for r in out), key=lambda d: (bucket(d), d))
+    assert kept == set(order[:20])
+
+
+def test_domain_split_never_straddles(spark):
+    # Subdomain siblings of one registrable domain land in one split.
+    hosts = spark.createDataFrame(
+        [
+            (i, f"{sub}.site{i % 11}.co.uk")
+            for i in range(200)
+            for sub in ("www", "shop", "a.b.cdn")
+        ],
+        ["doc_id", "host"],
+    )
+    out = domain_split(hosts).collect()
+    by_dom = {}
+    for r in out:
+        dom = ".".join(r.host.split(".")[-3:])  # siteN.co.uk
+        by_dom.setdefault(dom, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_dom.values())
+    assert {r.split for r in out} <= {"train", "dev", "test"}
+
+
+def test_domain_split_weights_and_determinism(spark):
+    hosts = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host"), F.col("id"), F.lit(".com")).alias("host"),
+    )
+    out = domain_split(hosts)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts.get("train", 0) / 3000 - 0.8) < 0.05
+    assert abs(counts.get("dev", 0) / 3000 - 0.1) < 0.03
+    assert abs(counts.get("test", 0) / 3000 - 0.1) < 0.03
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in domain_split(hosts).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        domain_split(hosts, splits=(("train", 1),))
+
+
+def test_domain_split_is_scan_local(spark):
+    # ZERO shuffle: the split is a pure projection over the scan.
+    hosts = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), F.col("id"), F.lit(".org")).alias("host"),
+    )
+    plan = domain_split(hosts)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
