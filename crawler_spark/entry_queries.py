@@ -1767,6 +1767,18 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic training-shard assignment (textops.assign_shards):
+    the pre-training "global shuffle" — shard = md5-bucket mod 8, pos =
+    rank by (bucket, id) within the shard, so (shard, pos) order is a
+    reproducible pseudorandom permutation of the corpus.  The oracle
+    replays the identical md5 arithmetic and window."""
+    from .functions.textops import assign_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return assign_shards(docs, n_shards=8)
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsing at the contract surface (politeness.
     parse_robots_pages — the production Arrow parser the crawl bootstrap
@@ -1862,6 +1874,7 @@ QUERIES = {
     "feed_parse": q_feed_parse,
     "domain_split": q_domain_split,
     "token_budget": q_token_budget,
+    "shard_shuffle": q_shard_shuffle,
     # -- newest green row is r2 (driver capped at 50 in r3) ----------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1887,7 +1900,6 @@ QUERIES = {
     # -- r3-green fill: engine core + one per §2.5 family ------------
     "politeness_rank": q_politeness_rank,
     "schedule_round": q_schedule_round,
-    "dedup_anti_join": q_dedup_anti_join,
     "priority_topk": q_priority_topk,
     "repetition_scores": q_repetition_scores,
     # ---------------- driver window ends here (50) ------------------
@@ -1900,8 +1912,10 @@ QUERIES = {
     # tfidf_topk (by boilerplate_ngrams), text_quality (by
     # chunk_documents), rlike_filter (by registered_domain),
     # body_length_filter (by feed_parse), regex_field_extract +
-    # fingerprint (by domain_split + token_budget — both r3-green with
-    # untouched kernels, the least-stale displacement available).
+    # fingerprint (by domain_split + token_budget), dedup_anti_join
+    # (by shard_shuffle) — all r3-green with untouched kernels, the
+    # least-stale displacements available.
+    "dedup_anti_join": q_dedup_anti_join,
     "regex_field_extract": q_regex_field_extract,
     "fingerprint": q_fingerprint,
     "link_explode": q_link_explode,
@@ -4014,4 +4028,21 @@ ORACLES["token_budget"] = r"""
     from tagged where not is_bnd
     union all
     select doc_id, score_micro, n_tokens, bin, kept from bnd
+"""
+
+
+ORACLES["shard_shuffle"] = r"""
+    with b as (
+      select doc_id,
+             cast(concat('0x', substr(md5(
+                    'shard|' || cast(doc_id as varchar)), 1, 8))
+                  as bigint) % 1000000 as bkt
+      from documents
+    )
+    select doc_id,
+           cast(bkt % 8 as int) as shard,
+           cast(row_number() over (
+                  partition by bkt % 8 order by bkt, doc_id) - 1
+                as bigint) as pos
+    from b
 """

@@ -1274,6 +1274,39 @@ def select_to_token_budget(
     return rest.unionByName(bnd).drop("__bt", "__full", "__bnd", "__rem")
 
 
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment — the "global shuffle"
+    every corpus release runs before handing shards to a trainer: each
+    doc gets a ``shard`` in [0, n_shards) and a 0-based ``pos`` within
+    that shard, and reading shards in (shard, pos) order is a
+    pseudorandom permutation of the corpus (sources interleave
+    uniformly because position derives from a hash, not ingest order).
+
+    Shard = md5 bucket mod n_shards, pos = rank by (bucket, id) within
+    the shard (:func:`hash_bucket_micro` convention, so DuckDB replays
+    the exact permutation and re-ingesting the corpus reproduces it
+    bit-for-bit — ``df.orderBy(rand())`` gives none of that).
+
+    Scale shape: ONE shuffle on the shard key — the same partitioning
+    the shard writer needs, so the sort feeds the write directly; each
+    shard sorts independently (corpus/n_shards rows), there is no
+    global sort.  At 100 TB pick n_shards so a shard fits an executor
+    sort buffer (~2^20 docs/shard); the window is per-shard, so shard
+    count scales the parallelism, not the cost.
+    """
+    b = hash_bucket_micro(F.col(id_col), seed)
+    out = df.withColumn("shard", F.pmod(b, F.lit(int(n_shards))).cast("int"))
+    w = Window.partitionBy("shard").orderBy(
+        hash_bucket_micro(F.col(id_col), seed), F.col(id_col)
+    )
+    return out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+
+
 # ------------------------------------------------------ DSIR importance
 def dsir_importance(
     corpus: DataFrame,

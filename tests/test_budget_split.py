@@ -114,6 +114,36 @@ def test_domain_split_weights_and_determinism(spark):
         domain_split(hosts, splits=(("train", 1),))
 
 
+def test_assign_shards_is_dense_permutation(spark):
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = textops.assign_shards(docs, n_shards=8).collect()
+    assert len(out) == 500
+    assert {r.shard for r in out} == set(range(8))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+        assert len(poss) > 20  # roughly balanced (500/8 = 62.5)
+    again = {(r.doc_id, r.shard, r.pos)
+             for r in textops.assign_shards(docs, n_shards=8).collect()}
+    assert {(r.doc_id, r.shard, r.pos) for r in out} == again
+
+
+def test_assign_shards_interleaves_sources(spark):
+    # Docs arrive source-sorted; the (shard, pos) order must mix them.
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, "a").otherwise("b").alias("source"),
+    )
+    rows = sorted(
+        textops.assign_shards(docs, n_shards=4).collect(),
+        key=lambda r: (r.shard, r.pos),
+    )
+    first_half = [r.source for r in rows[:200]]
+    assert 60 < first_half.count("a") < 140  # not the ingest order
+
+
 def test_domain_split_is_scan_local(spark):
     # ZERO shuffle: the split is a pure projection over the scan.
     hosts = spark.range(100).select(
