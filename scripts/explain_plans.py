@@ -292,6 +292,34 @@ def main() -> None:
         explain_str(QUERIES["hybrid_rrf"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "domain_split (registrable-domain split, zero shuffle)",
+        "MUST: NO Exchange anywhere — the PSL suffix pick, the md5\n"
+        "bucket, and the cumulative-weight CASE chain are one scan-local\n"
+        "projection; split assignment is a pure function of the domain\n"
+        "string, so there is nothing to aggregate or join.",
+        explain_str(QUERIES["domain_split"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "token_budget (histogram threshold, no global sort)",
+        "MUST: the corpus is never globally sorted — the only wide\n"
+        "corpus operation is the map-side-combined bin histogram\n"
+        "(<=201 rows); the threshold window runs over that tiny frame\n"
+        "and rejoins as a BroadcastExchange; the single-partition sort\n"
+        "window touches only the boundary bin's docs, not the corpus.",
+        explain_str(QUERIES["token_budget"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "shard_shuffle (training-shard assignment, one shuffle)",
+        "MUST: exactly ONE Exchange, hash-partitioned on the shard key\n"
+        "— the same partitioning the shard writer needs, so the\n"
+        "per-shard (bucket, id) sort feeds the write directly; no\n"
+        "global sort, no driver collection.",
+        explain_str(QUERIES["shard_shuffle"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = ["# PLANS — formatted physical plans for the load-bearing shapes",
            "", "Generated by `python scripts/explain_plans.py`.", ""]
     for title, props, plan in sections:
