@@ -1239,6 +1239,11 @@ def select_to_token_budget(
     recurse: re-bin the boundary bin by the hash bucket itself —
     same histogram-threshold trick, documented not default.
 
+    Pass the slim (id, score, tokens) projection, not the full doc
+    frame: the full/boundary union re-evaluates the input once per
+    branch, which is two scans of three pruned columns — text bytes
+    must not ride through this kernel.
+
     Returns every input row plus ``bin`` and boolean ``kept``.
     """
     b = F.lit(int(budget_tokens))
