@@ -1845,8 +1845,46 @@ def q_robots_rules(spark, sf_dir):
 # knn_join_lsh — newly oracle'd), then r3-green engine-core rows to
 # fill the window.  Everything past 50 is r3 hash-green and unchanged
 # since (CORRECTNESS_r03.json).
+
+# ------------------------------------------ tokenizer prep + encoding QA
+MOJI_TAINT_SUFFIX = (
+    " caf\u00c3\u00a9 quote\u00e2\u20ac\u2122 mid\u00c2\u00b7 bad\ufffd"
+)
+MOJI_TAINT_PREFIX = "\u00c3\u00bc\u00c3\u00bc "
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Tokenizer-training prep (textops.bpe_pair_counts): the first BPE
+    merge iteration — corpus-wide adjacent-character-pair counts
+    weighted by word frequency, top-50 merge candidates.  The pair
+    expansion runs over the vocab-sized distinct-word table, never the
+    token stream."""
+    d = _docs(spark, sf_dir).select("text")
+    return textops.bpe_pair_counts(d, k=50)
+
+
+def q_mojibake_detect(spark, sf_dir):
+    """Encoding-quality gate (textops.mojibake_stats): count classic
+    UTF-8-as-Latin-1 double-encoding signatures + U+FFFD and flag
+    carriers.  The synthetic corpus is clean, so deterministic taint is
+    injected first (doc_id%7==3 -> 4-signature suffix, doc_id%11==5 ->
+    2-signature prefix; the oracle replays the identical CASE) — the
+    detector itself never special-cases the taint."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    taint = (
+        F.when(F.col("doc_id") % 7 == 3,
+               F.concat(F.col("text"), F.lit(MOJI_TAINT_SUFFIX)))
+        .when(F.col("doc_id") % 11 == 5,
+              F.concat(F.lit(MOJI_TAINT_PREFIX), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return textops.mojibake_stats(d.select("doc_id", taint.alias("text")))
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "mojibake_detect": q_mojibake_detect,
     "bigram_lm": q_bigram_lm,
     "dedup_containment": q_dedup_containment,
     "dedup_incremental": q_dedup_incremental,
@@ -1898,11 +1936,17 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
     # -- r3-green fill: engine core + one per §2.5 family ------------
+    # repetition_scores rides ahead of the engine-core pair: its
+    # counting kernel was rewritten in r4 (Arrow pass), so its r3 green
+    # predates the kernel — rewritten rows jump the queue
+    "repetition_scores": q_repetition_scores,
     "politeness_rank": q_politeness_rank,
+    # ---------------- driver window ends here (50) ------------------
+    # schedule_round/priority_topk displaced by bpe_pair_counts +
+    # mojibake_detect (new r4 rows enter the front): both r3
+    # hash-green, kernels untouched since.
     "schedule_round": q_schedule_round,
     "priority_topk": q_priority_topk,
-    "repetition_scores": q_repetition_scores,
-    # ---------------- driver window ends here (50) ------------------
     # Everything below is r3 hash-green (CORRECTNESS_r03.json) with its
     # kernel untouched since that green row.  Displaced during r4 to
     # make room, in order: lang_id_lm + gopher_rules (by ccnet_buckets +
@@ -3360,6 +3404,48 @@ ORACLES = {
 
 # The streaming revisit twin must reproduce the batch kernel
 # row-for-row — it shares the batch row's oracle verbatim.
+from .functions.textops import MOJIBAKE_PATTERN as _MOJI_PAT
+
+ORACLES["bpe_pair_counts"] = r"""
+    with words as (
+      select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+      from documents
+    ), wf as (
+      select w, count(*) as f from words group by w having length(w) >= 2
+    ), pairs as (
+      select w[i:i+1] as pair, f
+      from wf, unnest(generate_series(1, length(w) - 1)) as t(i)
+    ), agg as (
+      select pair, cast(sum(f) as bigint) as cnt from pairs group by pair
+    )
+    select pair, cnt,
+           cast(row_number() over (order by cnt desc, pair asc) as int) as rank
+    from agg
+    order by cnt desc, pair asc
+    limit 50
+"""
+
+ORACLES["mojibake_detect"] = f"""
+    with t as (
+      select doc_id,
+             case when doc_id % 7 = 3 then text || '{MOJI_TAINT_SUFFIX}'
+                  when doc_id % 11 = 5 then '{MOJI_TAINT_PREFIX}' || text
+                  else text end as text
+      from documents
+    ), c as (
+      select doc_id,
+             cast(length(text) as bigint) as n_chars,
+             cast(len(regexp_extract_all(text, '{_MOJI_PAT}')) as bigint)
+               as n_moji
+      from t
+    )
+    select doc_id, n_chars, n_moji,
+           cast(case when n_chars > 0 then (n_moji * 1000000) // n_chars
+                     else 0 end as bigint) as moji_ppm,
+           n_moji > 0 as is_mojibake
+    from c
+"""
+
 ORACLES["revisit_stream"] = ORACLES["revisit_records"]
 
 # Full-probe LSH k-NN join == exact batch k-NN join (every bucket

@@ -1712,3 +1712,115 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+# --------------------------------------------- tokenizer-training prep
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """First BPE merge iteration over the corpus: corpus-wide counts of
+    adjacent symbol pairs inside words — the statistic a tokenizer
+    trainer (BPE / WordPiece) computes to pick its first merge rules.
+    Words are ``[a-z]+`` runs of the lowercased text; every adjacent
+    character pair inside a word contributes that word's corpus
+    frequency.  Returns the top ``k`` pairs as
+    ``(pair, cnt, rank)`` ordered by (cnt desc, pair asc).
+
+    Scale shape: the ONLY corpus-scale shuffle is the word-frequency
+    groupBy (map-side partial counts on short word keys); the pair
+    expansion then runs over the DISTINCT-WORD table — vocab-sized,
+    orders of magnitude smaller than the token stream — so the second
+    shuffle moves (2-char pair, long) rows from a vocab-sized input.
+    Top-k is TakeOrderedAndProject over the ~26^2-row pair table; the
+    rank window runs after the cut, over k rows only.  At 10^10 docs
+    the word-count stage is the whole cost and it partial-aggregates;
+    subsequent BPE iterations re-run only the vocab-sized stages with
+    merged symbols (drive the loop over the persisted word-frequency
+    table, not the corpus)."""
+    words = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("w")
+    )
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .where(F.length("w") >= 2)
+    )
+    # adjacent pair = 2-char substring at i; sequence is ascending
+    # because length(w) >= 2 is already enforced above
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "f",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("cnt"))
+    order = [F.desc("cnt"), F.asc("pair")]
+    top = agg.orderBy(*order).limit(k)
+    return top.select(
+        "pair",
+        "cnt",
+        F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank"),
+    )
+
+
+# ----------------------------------------------- encoding-quality gate
+#: Literal alternation of classic UTF-8-as-Latin-1 double-encoding
+#: signatures plus the replacement char.  Pure literals where no
+#: alternative is a prefix of another (the lone '\u00e2\u20ac' covers the
+#: \u2019/\u201c/\u201d punctuation family), so Java regex (Spark) and
+#: RE2 (DuckDB) count identical non-overlapping matches regardless of
+#: alternation order.
+MOJIBAKE_PATTERN = (
+    "\u00c3\u00a9|\u00c3\u00bc|\u00c3\u00b1|\u00c3\u00a4|"
+    "\u00c3\u00b6|\u00c3\u00a8|\u00c3\u00a0|\u00e2\u20ac|"
+    "\u00c2\u00b7|\u00c2\u00bb|\u00c2\u00a0|\ufffd"
+)
+
+
+def mojibake_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding-quality gate (ftfy-style detection, not repair): count
+    classic mojibake signatures — UTF-8 bytes decoded as Latin-1/cp1252
+    ('Ã©' for é, 'â€™' for ’, 'Â·' for ·) and the U+FFFD replacement
+    char — and flag documents carrying any.  A webtext pipeline runs
+    this before language ID: double-encoded docs poison n-gram LMs and
+    dedup shingles alike.
+
+    Returns ``(id_col, n_chars, n_moji, moji_ppm, is_mojibake)`` —
+    ``moji_ppm`` is integer-exact parts-per-million (``n_moji * 1e6 div
+    n_chars``) so the ratio hash-compares across engines.
+
+    Scale shape: ZERO shuffle — one regexp count per row inside the
+    scan projection, whole-stage codegen, only (id, 3 longs, bool)
+    leave the scan."""
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_moji = F.regexp_count(F.col(text_col), F.lit(MOJIBAKE_PATTERN)).cast(
+        "long"
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_moji.alias("n_moji"),
+        F.when(n_chars > 0, (n_moji * F.lit(1_000_000)).cast("long"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__num"),
+        n_chars.alias("__den"),
+    ).select(
+        id_col,
+        "n_chars",
+        "n_moji",
+        F.when(F.col("__den") > 0, F.expr("__num div __den"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("moji_ppm"),
+        (F.col("n_moji") > 0).alias("is_mojibake"),
+    )
