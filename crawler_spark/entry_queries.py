@@ -1881,10 +1881,54 @@ def q_mojibake_detect(spark, sf_dir):
     return textops.mojibake_stats(d.select("doc_id", taint.alias("text")))
 
 
+
+BADWORD_TAINT_SUFFIX = " casino jackpot viagra"
+BADWORD_TAINT_PREFIX = "xxx "
+
+
+def q_badwords_filter(spark, sf_dir):
+    """C4 badwords gate (textops.badwords_stats): whole-token blocklist
+    counts + integer-ppm ratio + any-hit page flag.  The synthetic
+    corpus is clean, so deterministic taint is injected first
+    (doc_id%13==2 -> 3-hit suffix, doc_id%17==4 -> 1-hit prefix; the
+    oracle replays the identical CASE) — the gate itself never
+    special-cases the taint."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    taint = (
+        F.when(F.col("doc_id") % 13 == 2,
+               F.concat(F.col("text"), F.lit(BADWORD_TAINT_SUFFIX)))
+        .when(F.col("doc_id") % 17 == 4,
+              F.concat(F.lit(BADWORD_TAINT_PREFIX), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return textops.badwords_stats(d.select("doc_id", taint.alias("text")))
+
+
+def q_main_content(spark, sf_dir):
+    """Density-based main-content extraction (textops.main_content):
+    each doc is wrapped in a deterministic page template — link-dense
+    nav, the doc text as the content block, a next/prev pager, a short
+    footer — and the kernel must keep exactly the prose block(s).  The
+    DuckDB oracle replays the same block split + density rule with its
+    own regex engine."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    page = F.concat(
+        F.lit('<div><ul><li><a href="/h">Home</a></li>'
+              '<li><a href="/a">About us</a></li></ul></div><div>'),
+        F.col("text"),
+        F.lit('</div><div><a href="/n">next page</a> | '
+              '<a href="/p">previous page</a></div>'
+              "<footer>copyright example</footer>"),
+    )
+    return textops.main_content(d.select("doc_id", page.alias("html")))
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
     "mojibake_detect": q_mojibake_detect,
+    "badwords_filter": q_badwords_filter,
+    "main_content": q_main_content,
     "bigram_lm": q_bigram_lm,
     "dedup_containment": q_dedup_containment,
     "dedup_incremental": q_dedup_incremental,
@@ -1927,7 +1971,6 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "audio_resample": q_audio_resample,
-    "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
     "corpus_clean": q_corpus_clean,
     # -- r3-green rows touched by r4 fixes (must re-verify) ----------
@@ -1935,18 +1978,23 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "decontaminate": q_decontaminate,
     "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
-    # -- r3-green fill: engine core + one per §2.5 family ------------
-    # repetition_scores rides ahead of the engine-core pair: its
-    # counting kernel was rewritten in r4 (Arrow pass), so its r3 green
-    # predates the kernel — rewritten rows jump the queue
+    # -- r3-green fill ------------------------------------------------
+    # repetition_scores stays inside the window: its counting kernel
+    # was rewritten in r4 (Arrow pass), so its r3 green predates the
+    # kernel — rewritten rows jump the queue
     "repetition_scores": q_repetition_scores,
-    "politeness_rank": q_politeness_rank,
     # ---------------- driver window ends here (50) ------------------
-    # schedule_round/priority_topk displaced by bpe_pair_counts +
-    # mojibake_detect (new r4 rows enter the front): both r3
-    # hash-green, kernels untouched since.
+    # politeness_rank/schedule_round/priority_topk displaced by the
+    # four new r4 rows (bpe_pair_counts, mojibake_detect,
+    # badwords_filter, main_content — new rows enter the front): all
+    # three r3 hash-green, kernels untouched since.
+    "politeness_rank": q_politeness_rank,
     "schedule_round": q_schedule_round,
     "priority_topk": q_priority_topk,
+    # stratified_sample also displaced (r2 hash-green, sample_stratified
+    # kernel untouched since it landed) to keep the rewritten
+    # repetition_scores inside the window
+    "stratified_sample": q_stratified_sample,
     # Everything below is r3 hash-green (CORRECTNESS_r03.json) with its
     # kernel untouched since that green row.  Displaced during r4 to
     # make room, in order: lang_id_lm + gopher_rules (by ccnet_buckets +
@@ -3444,6 +3492,69 @@ ORACLES["mojibake_detect"] = f"""
                      else 0 end as bigint) as moji_ppm,
            n_moji > 0 as is_mojibake
     from c
+"""
+
+ORACLES["badwords_filter"] = """
+    with t as (
+      select doc_id,
+             case when doc_id % 13 = 2 then text || ' casino jackpot viagra'
+                  when doc_id % 17 = 4 then 'xxx ' || text
+                  else text end as text
+      from documents
+    ), tok as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') as toks
+      from t
+    ), c as (
+      select doc_id,
+             cast(len(toks) as bigint) as n_tokens,
+             cast(len(list_filter(toks, x -> list_contains(
+               ['viagra','casino','xxx','porn','payday','jackpot'], x)))
+               as bigint) as n_bad
+      from tok
+    )
+    select doc_id, n_tokens, n_bad,
+           cast(case when n_tokens > 0 then (n_bad * 1000000) // n_tokens
+                     else 0 end as bigint) as bad_ppm,
+           n_bad > 0 as is_flagged
+    from c
+"""
+
+ORACLES["main_content"] = """
+    with page as (
+      select doc_id,
+             '<div><ul><li><a href="/h">Home</a></li>'
+             || '<li><a href="/a">About us</a></li></ul></div><div>'
+             || text
+             || '</div><div><a href="/n">next page</a> | '
+             || '<a href="/p">previous page</a></div>'
+             || '<footer>copyright example</footer>' as html
+      from documents
+    ), blk as (
+      select doc_id,
+             string_split_regex(html,
+               '</?(?:p|div|li|ul|ol|nav|footer|header|h[1-6]|table|tr|td|br)[^>]*>')
+               as blocks
+      from page
+    ), kept as (
+      select doc_id, blocks,
+             list_filter(blocks, b ->
+               length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))) >= 25
+               and 3 * length(coalesce(array_to_string(
+                     regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1), ''), ''))
+                   < length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))))
+               as keep
+      from blk
+    )
+    select doc_id,
+           coalesce(array_to_string(
+             list_transform(keep,
+               b -> trim(regexp_replace(b, '<[^>]*>', '', 'g'))),
+             chr(10)), '') as content,
+           cast(len(blocks) as bigint) as n_blocks,
+           cast(len(keep) as bigint) as n_kept
+    from kept
 """
 
 ORACLES["revisit_stream"] = ORACLES["revisit_records"]

@@ -1824,3 +1824,114 @@ def mojibake_stats(
         .alias("moji_ppm"),
         (F.col("n_moji") > 0).alias("is_mojibake"),
     )
+
+
+# ----------------------------------------------- C4 badwords page drop
+#: Stand-in for the public "bad words" blocklist C4 filters with (the
+#: real list is a drop-in replacement for this tuple — the kernel is
+#: list-agnostic).  Lowercase whole-token matches only: 'scunthorpe'
+#: never trips it.
+BADWORDS = ("viagra", "casino", "xxx", "porn", "payday", "jackpot")
+
+
+def badwords_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words: tuple[str, ...] = BADWORDS,
+) -> DataFrame:
+    """C4-style badwords gate: tokenize on non-letter runs, count
+    whole tokens that appear on the blocklist, flag the page on ANY
+    hit (C4 drops the whole page, not the line).  Token-level
+    matching, not substring — the classic Scunthorpe false positive is
+    structurally impossible.
+
+    Returns ``(id_col, n_tokens, n_bad, bad_ppm, is_flagged)`` with
+    integer-exact parts-per-million.
+
+    Scale shape: ZERO shuffle — the token split, list membership, and
+    counts are per-row higher-order functions inside the scan
+    projection; the blocklist is a literal array (a broadcast join
+    swap-in when the real multi-thousand-word list arrives), and only
+    (id, 3 longs, bool) leave the scan."""
+    bad = F.array(*[F.lit(w) for w in words])
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(bad, t)))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    return staged.select(
+        id_col,
+        "n_tokens",
+        "n_bad",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(n_bad * cast(1000000 as bigint)) div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bad_ppm"),
+        (F.col("n_bad") > 0).alias("is_flagged"),
+    )
+
+
+# ------------------------------------- density-based content extraction
+def main_content(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_chars: int = 25,
+) -> DataFrame:
+    """Boilerpipe-style main-content extraction: split the page into
+    blocks at block-level tag boundaries, score each block by visible
+    text length and link density, keep blocks that read like prose
+    (>= ``min_chars`` visible chars AND anchor text < 1/3 of visible
+    text — integer arithmetic, no floats), and reassemble.  The
+    density-based upgrade of :func:`html_to_text`'s whole-page strip:
+    nav chrome, related-links boxes, and footers are link-dense and
+    short, so they drop out.
+
+    Returns ``(id_col, content, n_blocks, n_kept)`` — content is the
+    kept blocks' visible text joined by newline.
+
+    Scale shape: ZERO shuffle — block split, per-block tag strip, and
+    density filter are per-row higher-order functions inside the scan
+    projection (whole-stage codegen); a DOM-accurate extractor is a
+    mapInPandas swap-in at the same call site, same as html_to_text."""
+    block_sep = (
+        r"</?(?:p|div|li|ul|ol|nav|footer|header|h[1-6]|table|tr|td|br)"
+        r"[^>]*>"
+    )
+    blocks = F.split(F.col(html_col), block_sep)
+    vis = lambda b: F.trim(F.regexp_replace(b, "<[^>]*>", ""))
+    anchor_len = lambda b: F.length(
+        F.array_join(
+            F.regexp_extract_all(b, F.lit("<a[^>]*>([^<]*)</a>"), F.lit(1)),
+            "",
+        )
+    ).cast("long")
+    scored = df.select(
+        F.col(id_col),
+        F.transform(
+            blocks,
+            lambda b: F.struct(vis(b).alias("v"), anchor_len(b).alias("alen")),
+        ).alias("__b"),
+    )
+    kept = F.filter(
+        F.col("__b"),
+        lambda s: (F.length(s["v"]) >= min_chars)
+        & (s["alen"] * 3 < F.length(s["v"])),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["v"]), "\n").alias(
+            "content"
+        ),
+        F.size("__b").cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
