@@ -1923,12 +1923,37 @@ def q_main_content(spark, sf_dir):
     return textops.main_content(d.select("doc_id", page.alias("html")))
 
 
+SCRIPT_TAINT_CYR = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 "
+SCRIPT_TAINT_CJK = "\u4e2d\u6587\u6587\u672c\u6d41 "
+SCRIPT_TAINT_HAN = "\ud55c\uad6d\uc5b4 \ud14d\uc2a4\ud2b8 "
+
+
+def q_script_detect(spark, sf_dir):
+    """Unicode-script mix detection (textops.script_ratios): per-doc
+    counts over five script ranges + majority-script label with
+    first-listed-wins tiebreak.  The ASCII corpus is re-labeled
+    deterministically (doc_id%19==7 -> Cyrillic, %23==11 -> CJK,
+    %29==13 -> Hangul; snippet repeated doc_id%3+1 times) so every
+    label value appears; the oracle replays the CASE with RE2's
+    \\x{{...}} range syntax — its own regex dialect, same semantics."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    rep = (F.col("doc_id") % 3 + 1).cast("int")
+    taint = (
+        F.when(F.col("doc_id") % 19 == 7, F.repeat(F.lit(SCRIPT_TAINT_CYR), rep))
+        .when(F.col("doc_id") % 23 == 11, F.repeat(F.lit(SCRIPT_TAINT_CJK), rep))
+        .when(F.col("doc_id") % 29 == 13, F.repeat(F.lit(SCRIPT_TAINT_HAN), rep))
+        .otherwise(F.col("text"))
+    )
+    return textops.script_ratios(d.select("doc_id", taint.alias("text")))
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
     "mojibake_detect": q_mojibake_detect,
     "badwords_filter": q_badwords_filter,
     "main_content": q_main_content,
+    "script_detect": q_script_detect,
     "bigram_lm": q_bigram_lm,
     "dedup_containment": q_dedup_containment,
     "dedup_incremental": q_dedup_incremental,
@@ -1971,7 +1996,6 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "audio_resample": q_audio_resample,
-    "html_extract": q_html_extract,
     "corpus_clean": q_corpus_clean,
     # -- r3-green rows touched by r4 fixes (must re-verify) ----------
     "revisit_stream": q_revisit_stream,
@@ -1995,6 +2019,9 @@ QUERIES = {
     # kernel untouched since it landed) to keep the rewritten
     # repetition_scores inside the window
     "stratified_sample": q_stratified_sample,
+    # html_extract displaced for the same reason when script_detect
+    # entered the front (html_to_text untouched since it landed)
+    "html_extract": q_html_extract,
     # Everything below is r3 hash-green (CORRECTNESS_r03.json) with its
     # kernel untouched since that green row.  Displaced during r4 to
     # make room, in order: lang_id_lm + gopher_rules (by ccnet_buckets +
@@ -3555,6 +3582,41 @@ ORACLES["main_content"] = """
            cast(len(blocks) as bigint) as n_blocks,
            cast(len(keep) as bigint) as n_kept
     from kept
+"""
+
+ORACLES["script_detect"] = """
+    with t as (
+      select doc_id,
+             case when doc_id % 19 = 7
+                    then repeat('\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 ', cast(doc_id % 3 + 1 as int))
+                  when doc_id % 23 = 11
+                    then repeat('\u4e2d\u6587\u6587\u672c\u6d41 ', cast(doc_id % 3 + 1 as int))
+                  when doc_id % 29 = 13
+                    then repeat('\ud55c\uad6d\uc5b4 \ud14d\uc2a4\ud2b8 ', cast(doc_id % 3 + 1 as int))
+                  else text end as text
+      from documents
+    ), c as (
+      select doc_id,
+             cast(len(regexp_extract_all(text, '[A-Za-z\\x{00C0}-\\x{024F}]')) as bigint) as n_latin,
+             cast(len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) as bigint) as n_cyrillic,
+             cast(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]')) as bigint) as n_cjk,
+             cast(len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) as bigint) as n_arabic,
+             cast(len(regexp_extract_all(text, '[\\x{AC00}-\\x{D7AF}]')) as bigint) as n_hangul
+      from t
+    )
+    select doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul,
+           case when n_latin > 0 and n_latin >= n_cyrillic and n_latin >= n_cjk
+                     and n_latin >= n_arabic and n_latin >= n_hangul then 'latin'
+                when n_cyrillic > 0 and n_cyrillic > n_latin and n_cyrillic >= n_cjk
+                     and n_cyrillic >= n_arabic and n_cyrillic >= n_hangul then 'cyrillic'
+                when n_cjk > 0 and n_cjk > n_latin and n_cjk > n_cyrillic
+                     and n_cjk >= n_arabic and n_cjk >= n_hangul then 'cjk'
+                when n_arabic > 0 and n_arabic > n_latin and n_arabic > n_cyrillic
+                     and n_arabic > n_cjk and n_arabic >= n_hangul then 'arabic'
+                when n_hangul > 0 and n_hangul > n_latin and n_hangul > n_cyrillic
+                     and n_hangul > n_cjk and n_hangul > n_arabic then 'hangul'
+                else 'none' end as script
+    from c
 """
 
 ORACLES["revisit_stream"] = ORACLES["revisit_records"]

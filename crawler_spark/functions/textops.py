@@ -1935,3 +1935,69 @@ def main_content(
         F.size("__b").cast("long").alias("n_blocks"),
         F.size(kept).cast("long").alias("n_kept"),
     )
+
+
+# --------------------------------------------- Unicode script detection
+#: (name, Java-regex char class) — Spark side.  The DuckDB oracle uses
+#: RE2's \x{...} syntax for the same ranges (its own regex dialect,
+#: same semantics — the feed_parse precedent).
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z\u00c0-\u024f]"),
+    ("cyrillic", "[\u0400-\u04ff]"),
+    ("cjk", "[\u4e00-\u9fff\u3040-\u30ff]"),
+    ("arabic", "[\u0600-\u06ff]"),
+    ("hangul", "[\uac00-\ud7af]"),
+)
+
+
+def script_ratios(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-script mix detection: per-document character counts for
+    the five major script ranges plus a majority-script label — the
+    gate a multilingual pipeline runs before language ID (mixed-script
+    spam and wrong-script injection score high on n-gram LMs trained on
+    the wrong alphabet; script is the cheaper, sharper first cut).
+
+    Returns ``(id_col, n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul,
+    script)`` — script = argmax count with the SCRIPT_CLASSES order as
+    the deterministic tiebreak, 'none' when all counts are zero.
+
+    Scale shape: ZERO shuffle — five regexp counts per row inside the
+    scan projection (whole-stage codegen); only (id, 5 longs, label)
+    leave the scan."""
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(cls)).cast("long")
+        for name, cls in SCRIPT_CLASSES
+    }
+    names = [n for n, _ in SCRIPT_CLASSES]
+    staged = df.select(
+        F.col(id_col), *[counts[n].alias(f"n_{n}") for n in names]
+    )
+    # argmax with first-listed-wins tiebreak: name i wins if its count
+    # is strictly greater than every earlier count and >= every later
+    label = F.lit("none")
+    total = None
+    for n in names:
+        c = F.col(f"n_{n}")
+        total = c if total is None else total + c
+    # build CASE from last to first so earlier names take priority on ties
+    for n in reversed(names):
+        c = F.col(f"n_{n}")
+        cond = None
+        for m in names:
+            if m == n:
+                continue
+            other = F.col(f"n_{m}")
+            # earlier-listed m must be strictly smaller; later-listed
+            # m only needs to not exceed
+            this = (other < c) if names.index(m) < names.index(n) else (other <= c)
+            cond = this if cond is None else (cond & this)
+        label = F.when((c > 0) & cond, F.lit(n)).otherwise(label)
+    return staged.select(
+        id_col,
+        *[f"n_{n}" for n in names],
+        label.alias("script"),
+    )

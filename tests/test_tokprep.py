@@ -91,3 +91,32 @@ def test_mojibake_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     plan = mojibake_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_script_ratios_labels_and_ties(spark):
+    from crawler_spark.functions.textops import script_ratios
+
+    rows = [
+        (1, "hello world"),          # latin only
+        (2, "привет hi"),  # cyr 6 > lat 2
+        (3, "中文文本 test"),  # cjk 4 == lat 4 -> latin (tie)
+        (4, "12345 !!!"),            # none
+        (5, "가각갂"),   # hangul
+        (6, ""),                     # empty -> none
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in script_ratios(df).collect()}
+    assert got[1].script == "latin" and got[1].n_latin == 10
+    assert got[2].script == "cyrillic" and got[2].n_cyrillic == 6
+    assert got[3].script == "latin" and got[3].n_cjk == 4  # first-listed wins
+    assert got[4].script == "none"
+    assert got[5].script == "hangul" and got[5].n_hangul == 3
+    assert got[6].script == "none"
+
+
+def test_script_ratios_zero_shuffle(spark):
+    from crawler_spark.functions.textops import script_ratios
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = script_ratios(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
