@@ -723,6 +723,20 @@ def run_round(
             (round_no, "commit", t, int(sid), rows.get(t, -1))
             for t, sid in snaps.items()
         ]
+        # per-partition lineage: which frontier buckets this round's
+        # snapshot rewrote (a resume/audit can invalidate exactly these
+        # and trust every other bucket's prior snapshot).  Free — the
+        # dirty list is already computed for the delta commit itself; a
+        # full compact rewrite touches all B buckets by definition and
+        # is recorded by its table-level row above.  rows=-1: per-bucket
+        # counts would cost an extra aggregation job per round.
+        if not compact and dirty and "frontier_pending" in snaps:
+            fp_sid = int(snaps["frontier_pending"])
+            lrows += [
+                (round_no, "bucket_commit",
+                 f"frontier_pending/_bucket={k}", fp_sid, -1)
+                for k in dirty
+            ]
         snaps["lineage"] = cat.write_rows(lrows, LINEAGE_SCHEMA, "lineage")
 
     for df in (cand, scheduled, parsed, new_rows):

@@ -285,6 +285,23 @@ def test_frontier_delta_commit_touches_only_dirty_buckets(spark, tmp_path):
         bound = by_round[(rnd, "scheduled")] + by_round[(rnd, "new_rows")]
         assert len(m["buckets"]) <= bound, (rnd, len(m["buckets"]), bound)
 
+    # per-partition lineage: every partial commit's dirty-bucket list
+    # must be replayed verbatim as bucket_commit lineage rows keyed on
+    # that snapshot id — a resume/audit can invalidate exactly these
+    # buckets and trust every other bucket's prior snapshot
+    lin = cat.read(spark, "lineage")
+    by_sid: dict[int, set[int]] = {}
+    for r in lin.where(F.col("stage") == "bucket_commit").collect():
+        assert r.table.startswith("frontier_pending/_bucket=")
+        by_sid.setdefault(r.snapshot_id, set()).add(
+            int(r.table.split("=", 1)[1])
+        )
+    for m in partial:
+        assert by_sid.get(m["id"]) == set(m["buckets"]), (
+            "lineage bucket_commit rows disagree with the snapshot "
+            f"manifest for snapshot {m['id']}"
+        )
+
 
 def test_frontier_compaction_and_expiry_equivalence(spark, tmp_path):
     """Periodic full-bucket compaction (flushes clean buckets' dead rows)
