@@ -1947,6 +1947,89 @@ def q_script_detect(spark, sf_dir):
     return textops.script_ratios(d.select("doc_id", taint.alias("text")))
 
 
+# --------------------------------------------- late-r4 curation stats
+def q_url_features(spark, sf_dir):
+    """URL-shape admission gate (urlfeat.url_features): deterministic
+    URL synthesis exercises every feature — doc_id%5==0 builds a
+    parameter-farm tracking URL (4 query params -> spam), %5==1 a
+    9-deep calendar path (-> spam), %5==2 a percent-encoded path with
+    one param, the rest clean article URLs; %4==0 adds a www subdomain.
+    The oracle replays the CASE and every length/replace feature."""
+    from .functions import urlfeat
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    sfx = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.format_string(
+                "/track/%d/x?sid=%d&ref=aff&a=1&b=2",
+                F.col("doc_id") * 7919, F.col("doc_id"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.format_string("/a/b/c/d/e/f/g/h/i/item%d", F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.format_string(
+                "/p%%20q/doc%d?x=%d", F.col("doc_id"), F.col("doc_id") % 7
+            ),
+        )
+        .otherwise(F.format_string("/articles/item%d", F.col("doc_id")))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        sfx,
+    )
+    return urlfeat.url_features(d.select("doc_id", url.alias("url")))
+
+
+def q_link_spam(spark, sf_dir):
+    """Link-farm detection (graph.link_spam_stats): three deterministic
+    edge families over a 20-host graph — a one-way ring (i -> i+1),
+    reciprocal pairs (2k <-> 2k+1), and a 7i+3 scatter that closes two
+    ring edges (5->6 and 15->16 gain reverses) — so reciprocity is
+    partial and cross-family, not clique-trivial.  The oracle replays
+    the CASE and the reverse-edge join on the distinct edge set."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    src_i = F.col("doc_id") % 20
+    dst_i = (
+        F.when(F.col("doc_id") % 3 == 0, (src_i + 1) % 20)
+        .when(
+            F.col("doc_id") % 3 == 1,
+            src_i + F.when(src_i % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .otherwise((src_i * 7 + 3) % 20)
+    )
+    edges = d.select(
+        F.format_string("src%d", src_i).alias("src"),
+        F.format_string("src%d", dst_i).alias("dst"),
+    )
+    return graph.link_spam_stats(edges)
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary dashboard (textops.vocab_stats): per-source
+    tokens/types/hapax + integer ppm ratios.  The small-vocab synthetic
+    corpus has almost no natural hapax, so a unique token is appended
+    to every third doc (the oracle replays the CASE) — the kernel
+    itself never special-cases the taint."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    taint = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.format_string(" uniq%d", F.col("doc_id"))),
+    ).otherwise(F.col("text"))
+    return textops.vocab_stats(
+        d.select("source", taint.alias("text")), group_col="source"
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2076,6 +2159,15 @@ QUERIES = {
     "redirect_resolve": q_redirect_resolve,
     "sitemap_parse": q_sitemap_parse,
     "trap_detect": q_trap_detect,
+    # -- late-r4 additions, below the window BY POLICY: entering them
+    # now would displace rows that must re-verify this round (every
+    # window row above is either never-driver-checked or was modified
+    # in r4).  All three are local-gate green (test_entry_contract) and
+    # are FIRST into the r5 window per the documented rotation — ahead
+    # of the old-green rotation queue in SURVEY.md §round-5 plan.
+    "url_features": q_url_features,
+    "link_spam": q_link_spam,
+    "vocab_growth": q_vocab_growth,
 }
 
 # =====================================================================
@@ -4304,4 +4396,98 @@ ORACLES["shard_shuffle"] = r"""
                   partition by bkt % 8 order by bkt, doc_id) - 1
                 as bigint) as pos
     from b
+"""
+
+ORACLES["url_features"] = r"""
+    with u as (
+      select doc_id,
+             'https://' || case when doc_id % 4 = 0 then 'www.' else '' end
+             || source || '.example.com' ||
+             case
+               when doc_id % 5 = 0 then '/track/' || cast(doc_id * 7919 as varchar)
+                    || '/x?sid=' || cast(doc_id as varchar) || '&ref=aff&a=1&b=2'
+               when doc_id % 5 = 1 then '/a/b/c/d/e/f/g/h/i/item'
+                    || cast(doc_id as varchar)
+               when doc_id % 5 = 2 then '/p%20q/doc' || cast(doc_id as varchar)
+                    || '?x=' || cast(doc_id % 7 as varchar)
+               else '/articles/item' || cast(doc_id as varchar)
+             end as url
+      from documents
+    ), f as (
+      select doc_id, url,
+             length(url) as url_len,
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) as host,
+             regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) as path,
+             regexp_extract(url, '\?([^#]*)', 1) as query
+      from u
+    ), g as (
+      select doc_id, url,
+             cast(url_len as bigint) as url_len,
+             cast(length(path) - length(replace(path, '/', '')) as bigint)
+               as path_depth,
+             cast(case when query = '' then 0
+                  else length(query) - length(replace(query, '&', '')) + 1
+                  end as bigint) as n_query_params,
+             cast(floor((url_len - length(regexp_replace(url, '[0-9]', '', 'g')))
+                        * 1000000.0 / url_len) as bigint) as digit_ppm,
+             cast(length(url) - length(replace(url, '%', '')) as bigint)
+               as pct_encoded,
+             cast(greatest(length(host) - length(replace(host, '.', '')) - 1, 0)
+                  as bigint) as n_subdomains
+      from f
+    )
+    select doc_id, url, url_len, path_depth, n_query_params, digit_ppm,
+           pct_encoded, n_subdomains,
+           (url_len > 120 or digit_ppm > 300000 or n_query_params > 3
+            or path_depth > 8) as url_spam
+    from g
+"""
+
+ORACLES["link_spam"] = r"""
+    with e0 as (
+      select distinct
+        'src' || cast(doc_id % 20 as varchar) as src,
+        'src' || cast(case
+           when doc_id % 3 = 0 then (doc_id % 20 + 1) % 20
+           when doc_id % 3 = 1 then doc_id % 20
+                + case when (doc_id % 20) % 2 = 0 then 1 else -1 end
+           else ((doc_id % 20) * 7 + 3) % 20 end as varchar) as dst
+      from documents
+    ), e as (select src, dst from e0 where src <> dst),
+    deg as (select src, count(*) as outdeg from e group by 1),
+    rec as (
+      select a.src, count(*) as n_recip
+      from e a join e b on a.src = b.dst and a.dst = b.src
+      group by 1
+    )
+    select deg.src as host,
+           cast(outdeg as bigint) as outdeg,
+           cast(coalesce(n_recip, 0) as bigint) as n_recip,
+           cast(floor(coalesce(n_recip, 0) * 1000000.0 / outdeg) as bigint)
+             as recip_ppm,
+           (floor(coalesce(n_recip, 0) * 1000000.0 / outdeg) >= 500000
+            and outdeg >= 2) as link_farm
+    from deg left join rec on deg.src = rec.src
+"""
+
+ORACLES["vocab_growth"] = r"""
+    with d as (
+      select source,
+             text || case when doc_id % 3 = 0
+                          then ' uniq' || cast(doc_id as varchar)
+                          else '' end as text
+      from documents
+    ), tok as (
+      select source, unnest(string_split(text, ' ')) as w from d
+    ), t as (select source, w from tok where w <> ''),
+    wc as (select source, w, count(*) as cnt from t group by 1, 2)
+    select source,
+           cast(sum(cnt) as bigint) as n_tokens,
+           cast(count(*) as bigint) as n_types,
+           cast(coalesce(sum(case when cnt = 1 then 1 else 0 end), 0) as bigint)
+             as n_hapax,
+           cast(floor(count(*) * 1000000.0 / sum(cnt)) as bigint) as ttr_ppm,
+           cast(floor(coalesce(sum(case when cnt = 1 then 1 else 0 end), 0)
+                      * 1000000.0 / count(*)) as bigint) as hapax_ppm
+    from wc group by source
 """

@@ -266,3 +266,59 @@ def resolve_redirects(edges: DataFrame, max_sweeps: int = 8) -> DataFrame:
         F.when(F.col("cyc_src").isNull(), F.col("cur")).alias("final"),
         F.col("cyc_src").isNotNull().alias("is_cycle"),
     )
+
+
+def link_spam_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_recip_ppm: int = 500_000,
+    min_outdeg: int = 2,
+) -> DataFrame:
+    """Per-host link-farm stats: ``(host, outdeg, n_recip, recip_ppm,
+    link_farm)``.
+
+    Link farms manufacture rank by reciprocal linking (host A links B,
+    B links A); organic hosts link mostly one-way.  ``recip_ppm`` is
+    the fraction (integer ppm) of a host's distinct outlinks whose
+    reverse edge exists anywhere in the graph; a host is flagged when
+    that fraction and its outdegree both clear their thresholds.
+    Downstream this joins against host_rank the same way the blocklist
+    does — demoting or zeroing flagged hosts' priority.
+
+    Scale shape: one ``distinct`` on (src, dst) — the canonical edge
+    set, partially aggregated map-side — then one self-join on the
+    composite key (hash-partitioned both sides, no broadcast of an
+    unbounded edge list) and two groupBys with map-side partial counts.
+    No iteration, no driver collect.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("src").alias("r_src"), F.col("dst").alias("r_dst"))
+    recip = e.join(
+        rev, (e.src == F.col("r_dst")) & (e.dst == F.col("r_src")), "left_semi"
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    rec = recip.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    return (
+        deg.join(rec, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            "outdeg",
+            F.coalesce(F.col("n_recip"), F.lit(0)).cast("long").alias("n_recip"),
+        )
+        .withColumn(
+            "recip_ppm",
+            F.floor(F.col("n_recip") * 1_000_000 / F.col("outdeg")).cast("long"),
+        )
+        .withColumn(
+            "link_farm",
+            (F.col("recip_ppm") >= min_recip_ppm)
+            & (F.col("outdeg") >= min_outdeg),
+        )
+    )

@@ -2001,3 +2001,48 @@ def script_ratios(
         *[f"n_{n}" for n in names],
         label.alias("script"),
     )
+
+
+def vocab_stats(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group vocabulary statistics: ``(group, n_tokens, n_types,
+    n_hapax, ttr_ppm, hapax_ppm)``.
+
+    The Heaps-law dashboard row of a corpus release: total tokens,
+    distinct types, hapax legomena (types seen once), type-token ratio
+    and hapax share as integer ppm.  A source whose TTR collapses is
+    template spam; one whose hapax share explodes is OCR noise or
+    mojibake — both are mixture-weight inputs next to corpus_stats.
+
+    Scale shape: explode -> groupBy(group, word) -> groupBy(group),
+    both aggregations partial map-side, so the full token stream is
+    combined within partitions before any shuffle; the second shuffle
+    moves one row per (group, type) — vocabulary-sized, not
+    corpus-sized.  Hot groups shard across partitions by the word key.
+    """
+    w = F.explode(F.split(F.col(text_col), " ")).alias("w")
+    tok = docs.select(F.col(group_col).alias("grp"), w).where(F.col("w") != "")
+    wc = tok.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        wc.groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.floor(F.col("n_types") * 1_000_000 / F.col("n_tokens"))
+            .cast("long")
+            .alias("ttr_ppm"),
+            F.floor(F.col("n_hapax") * 1_000_000 / F.col("n_types"))
+            .cast("long")
+            .alias("hapax_ppm"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Unit tests for the late-r4 curation-stat kernels: URL-shape
+features (urlfeat.url_features), link-farm detection
+(graph.link_spam_stats), and vocabulary stats (textops.vocab_stats).
+Contract-level oracle equivalence is covered by test_entry_contract;
+these pin the hand-checkable edge cases."""
+
+from __future__ import annotations
+
+from crawler_spark.functions import graph, textops, urlfeat
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_url_features_clean_url(spark):
+    df = spark.createDataFrame(
+        [("https://www.news.example.com/articles/item7",)], ["url"]
+    )
+    r = urlfeat.url_features(df).collect()[0]
+    assert r.url_len == len("https://www.news.example.com/articles/item7")
+    assert r.path_depth == 2
+    assert r.n_query_params == 0  # no '?': empty query, not 1 param
+    assert r.pct_encoded == 0
+    assert r.n_subdomains == 2  # www.news + example + com -> 3 dots - 1
+    assert not r.url_spam
+
+
+def test_url_features_spam_axes(spark):
+    df = spark.createDataFrame(
+        [
+            # parameter farm: 4 params > 3
+            ("params", "https://a.com/x?sid=1&ref=2&a=3&b=4"),
+            # calendar depth: 9 segments > 8
+            ("depth", "https://a.com/a/b/c/d/e/f/g/h/i"),
+            # digit soup: > 30% digits
+            ("digits", "https://a.com/1234567890123456789"),
+            # long: > 120 chars
+            ("long", "https://a.com/" + "x" * 120),
+            # percent-encoding counted but not spam by itself
+            ("enc", "https://a.com/p%20q%3Dr"),
+        ],
+        ["name", "url"],
+    )
+    got = _rows(urlfeat.url_features(df), "name")
+    assert got["params"]["n_query_params"] == 4 and got["params"]["url_spam"]
+    assert got["depth"]["path_depth"] == 9 and got["depth"]["url_spam"]
+    assert got["digits"]["url_spam"]
+    assert got["long"]["url_spam"]
+    assert got["enc"]["pct_encoded"] == 2 and not got["enc"]["url_spam"]
+
+
+def test_url_features_dotless_host_floor(spark):
+    df = spark.createDataFrame([("https://localhost/x",)], ["url"])
+    r = urlfeat.url_features(df).collect()[0]
+    assert r.n_subdomains == 0  # greatest(-1, 0)
+
+
+def test_link_spam_stats_hand_graph(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),        # reciprocal pair
+            ("a", "c"),                     # one-way
+            ("a", "b"),                     # duplicate: collapses
+            ("d", "d"),                     # self-edge: dropped
+            ("c", "a"),                     # makes a->c reciprocal too
+        ],
+        ["src", "dst"],
+    )
+    got = _rows(graph.link_spam_stats(edges), "host")
+    assert got["a"]["outdeg"] == 2 and got["a"]["n_recip"] == 2
+    assert got["a"]["recip_ppm"] == 1_000_000 and got["a"]["link_farm"]
+    # b: outdeg 1 -> fully reciprocal but below min_outdeg
+    assert got["b"]["outdeg"] == 1 and got["b"]["recip_ppm"] == 1_000_000
+    assert not got["b"]["link_farm"]
+    assert "d" not in got  # only a self-edge: no qualifying outlinks
+
+
+def test_vocab_stats_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            ("s1", "a a b"),
+            ("s1", "b  c"),  # double space: empty token filtered
+            ("s2", "z"),
+        ],
+        ["source", "text"],
+    )
+    got = _rows(textops.vocab_stats(docs), "source")
+    s1 = got["s1"]
+    assert s1["n_tokens"] == 5 and s1["n_types"] == 3 and s1["n_hapax"] == 1
+    assert s1["ttr_ppm"] == 600_000            # floor(3e6/5)
+    assert s1["hapax_ppm"] == 333_333          # floor(1e6/3)
+    s2 = got["s2"]
+    assert s2["n_tokens"] == 1 and s2["n_types"] == 1 and s2["n_hapax"] == 1
+    assert s2["ttr_ppm"] == 1_000_000 and s2["hapax_ppm"] == 1_000_000
