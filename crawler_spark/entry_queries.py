@@ -2030,6 +2030,55 @@ def q_vocab_growth(spark, sf_dir):
     )
 
 
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid grade + reading ease (textops.readability_scores),
+    milli fixed-point.  The word-soup corpus has no sentence
+    punctuation, so doc_id%4 copies of a three-word sentence are
+    appended (the oracle replays the CASE) — sentence counts range 1-4
+    and the %4==0 docs exercise the greatest(...,1) floor.  The one
+    double division per term is written identically in both engines, so
+    IEEE-754 makes the floors agree bit-for-bit."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    taint = F.concat(
+        F.col("text"),
+        F.repeat(F.lit(" Stop here now."), (F.col("doc_id") % 4).cast("int")),
+    )
+    return textops.readability_scores(d.select("doc_id", taint.alias("text")))
+
+
+def q_url_param_dedup(spark, sf_dir):
+    """Tracking-param URL collapse (urlfeat.url_param_dedup): three URL
+    families per page — utm-wrapped, gclid-wrapped with the content
+    param in a different ORDER, and bare — so docs with equal
+    (source, page, id-parity) collapse across families after the strip
+    + sort.  Oracle replays the synthesis and the list_filter/list_sort
+    canonicalization."""
+    from .functions import urlfeat
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    q = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string(
+                "?utm_source=feed&id=%d&utm_campaign=c%d",
+                F.col("doc_id") % 2, F.col("doc_id") % 5,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.format_string(
+                "?id=%d&gclid=g%d", F.col("doc_id") % 2, F.col("doc_id")
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 25).cast("string"), q,
+    )
+    return urlfeat.url_param_dedup(d.select("doc_id", url.alias("url")))
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2162,12 +2211,14 @@ QUERIES = {
     # -- late-r4 additions, below the window BY POLICY: entering them
     # now would displace rows that must re-verify this round (every
     # window row above is either never-driver-checked or was modified
-    # in r4).  All three are local-gate green (test_entry_contract) and
+    # in r4).  All five are local-gate green (test_entry_contract) and
     # are FIRST into the r5 window per the documented rotation — ahead
     # of the old-green rotation queue in SURVEY.md §round-5 plan.
     "url_features": q_url_features,
     "link_spam": q_link_spam,
     "vocab_growth": q_vocab_growth,
+    "readability": q_readability,
+    "url_param_dedup": q_url_param_dedup,
 }
 
 # =====================================================================
@@ -4490,4 +4541,67 @@ ORACLES["vocab_growth"] = r"""
            cast(floor(coalesce(sum(case when cnt = 1 then 1 else 0 end), 0)
                       * 1000000.0 / count(*)) as bigint) as hapax_ppm
     from wc group by source
+"""
+
+ORACLES["readability"] = r"""
+    with d as (
+      select doc_id,
+             text || repeat(' Stop here now.', cast(doc_id % 4 as int))
+               as text
+      from documents
+    ), f as (
+      select doc_id,
+             len(regexp_extract_all(text, '[^ ]+')) as words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) as s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) as y
+      from d
+    )
+    select doc_id,
+           cast(words as bigint) as n_words,
+           cast(s as bigint) as n_sentences,
+           cast(y as bigint) as n_syllables,
+           cast(floor(390.0 * greatest(words, 1) / s
+                      + 11800.0 * y / greatest(words, 1) - 15590.0)
+                as bigint) as fk_grade_milli,
+           cast(floor(206835.0 - 1015.0 * greatest(words, 1) / s
+                      - 84600.0 * y / greatest(words, 1))
+                as bigint) as reading_ease_milli
+    from f
+"""
+
+ORACLES["url_param_dedup"] = r"""
+    with u as (
+      select doc_id,
+             'https://' || source || '.example.com/p/'
+             || cast(doc_id % 25 as varchar) ||
+             case
+               when doc_id % 3 = 0 then '?utm_source=feed&id='
+                    || cast(doc_id % 2 as varchar)
+                    || '&utm_campaign=c' || cast(doc_id % 5 as varchar)
+               when doc_id % 3 = 1 then '?id=' || cast(doc_id % 2 as varchar)
+                    || '&gclid=g' || cast(doc_id as varchar)
+               else '' end as url
+      from documents
+    ), c as (
+      select doc_id, url,
+             regexp_replace(url, '\?.*$', '') as base,
+             list_sort(list_filter(
+               string_split(regexp_extract(url, '\?(.*)', 1), '&'),
+               p -> p <> '' and not starts_with(p, 'utm_')
+                    and not starts_with(p, 'gclid=')
+                    and not starts_with(p, 'fbclid=')
+                    and not starts_with(p, 'msclkid='))) as kept
+      from u
+    ), k as (
+      select doc_id, url,
+             base || case when len(kept) > 0
+                          then '?' || array_to_string(kept, '&')
+                          else '' end as url_canon
+      from c
+    )
+    select url_canon,
+           cast(count(*) as bigint) as n_urls,
+           cast(count(distinct url) as bigint) as n_distinct_raw,
+           cast(min(doc_id) as bigint) as keep_id
+    from k group by url_canon
 """

@@ -88,3 +88,56 @@ def url_features(
         | (F.col("path_depth") > max_path_depth)
     )
     return out.withColumn("url_spam", spam)
+
+
+# query parameters that identify the click, not the content
+TRACKING_PARAM_PREFIXES = ("utm_", "gclid=", "fbclid=", "msclkid=")
+
+
+def canonical_url(url: Column) -> Column:
+    """Tracking-param-free canonical form: strip ``utm_*``/click-id
+    params, sort the survivors, rebuild.  Two URLs that differ only in
+    tracking params or param ORDER map to one canonical string — the
+    collapse step in front of the exact URL-seen set (urlnorm.canon_col
+    normalizes scheme/port; this normalizes the query).  Pure
+    split/filter/sort/join built-ins, scan-local."""
+    base = F.regexp_replace(url, r"\?.*$", "")
+    query = F.regexp_extract(url, r"\?(.*)", 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("gclid=")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("msclkid="),
+    )
+    rebuilt = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        base,
+        F.when(rebuilt == "", F.lit("")).otherwise(F.concat(F.lit("?"), rebuilt)),
+    )
+
+
+def url_param_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse URLs by canonical (tracking-stripped, param-sorted)
+    form: ``(url_canon, n_urls, n_distinct_raw, keep_id)`` — keep_id is
+    the lowest id per group (deterministic canonical pick, same rule as
+    cluster_keep_best).
+
+    Scale shape: one groupBy on the canonical string with map-side
+    partial aggregates; the countDistinct is the exact two-phase
+    partial (swap approx_count_distinct at 10^10 URLs, same call
+    site).
+    """
+    c = df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("raw"),
+        canonical_url(F.col(url_col)).alias("url_canon"),
+    )
+    return c.groupBy("url_canon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("raw").cast("long").alias("n_distinct_raw"),
+        F.min("id").cast("long").alias("keep_id"),
+    )

@@ -93,3 +93,45 @@ def test_vocab_stats_counts(spark):
     s2 = got["s2"]
     assert s2["n_tokens"] == 1 and s2["n_types"] == 1 and s2["n_hapax"] == 1
     assert s2["ttr_ppm"] == 1_000_000 and s2["hapax_ppm"] == 1_000_000
+
+
+def test_readability_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world. It is fun."),
+            (2, "abc"),      # no punctuation: sentence floor at 1
+            (3, ""),         # empty: word guard at 1, zero syllables
+        ],
+        ["doc_id", "text"],
+    )
+    got = _rows(textops.readability_scores(docs), "doc_id")
+    r = got[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 6)
+    # floor(390*5/2 + 11800*6/5 - 15590) = floor(-455.0)
+    assert r["fk_grade_milli"] == -455
+    # floor(206835 - 1015*5/2 - 84600*6/5) = floor(102777.5)
+    assert r["reading_ease_milli"] == 102777
+    assert got[2]["n_sentences"] == 1 and got[2]["n_syllables"] == 1
+    assert got[3]["n_words"] == 0 and got[3]["fk_grade_milli"] == -15200
+
+
+def test_url_param_dedup_collapse(spark):
+    from crawler_spark.functions import urlfeat
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/p?utm_source=x&id=1"),
+            (2, "https://a.com/p?id=1&gclid=g9"),
+            (3, "https://a.com/p?id=1"),
+            (4, "https://a.com/q?b=2&a=1"),
+            (5, "https://a.com/q?a=1&b=2"),   # order-only variant
+            (6, "https://a.com/r?utm_only=x"),  # all params stripped
+        ],
+        ["doc_id", "url"],
+    )
+    got = _rows(urlfeat.url_param_dedup(urls), "url_canon")
+    g = got["https://a.com/p?id=1"]
+    assert g["n_urls"] == 3 and g["n_distinct_raw"] == 3 and g["keep_id"] == 1
+    q = got["https://a.com/q?a=1&b=2"]
+    assert q["n_urls"] == 2 and q["n_distinct_raw"] == 2 and q["keep_id"] == 4
+    assert got["https://a.com/r"]["n_urls"] == 1  # bare base: no '?'
