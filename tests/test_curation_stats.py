@@ -135,3 +135,32 @@ def test_url_param_dedup_collapse(spark):
     q = got["https://a.com/q?a=1&b=2"]
     assert q["n_urls"] == 2 and q["n_distinct_raw"] == 2 and q["keep_id"] == 4
     assert got["https://a.com/r"]["n_urls"] == 1  # bare base: no '?'
+
+
+def test_canonical_url_python_parity(spark):
+    """Kernel vs an independent pure-Python canonicalizer over a
+    generated matrix of param orderings, tracking mixes, empty queries,
+    and no-query URLs."""
+    from itertools import permutations
+
+    from crawler_spark.functions import urlfeat
+
+    def py_canon(url: str) -> str:
+        base, _, query = url.partition("?")
+        keep = sorted(
+            p for p in query.split("&")
+            if p and not p.startswith(("utm_", "gclid=", "fbclid=", "msclkid="))
+        )
+        return base + ("?" + "&".join(keep) if keep else "")
+
+    params = ["a=1", "b=2", "utm_source=x", "gclid=g1", "c=", "msclkid=m"]
+    urls = ["https://h.com/p", "https://h.com/p?", "https://h.com/p?utm_only=1"]
+    for r in (2, 3):
+        for combo in permutations(params, r):
+            urls.append("https://h.com/p?" + "&".join(combo))
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = df.select(
+        "url", urlfeat.canonical_url(df.url).alias("canon")
+    ).collect()
+    for row in got:
+        assert row.canon == py_canon(row.url), row.url
