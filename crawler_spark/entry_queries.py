@@ -2079,6 +2079,50 @@ def q_url_param_dedup(spark, sf_dir):
     return urlfeat.url_param_dedup(d.select("doc_id", url.alias("url")))
 
 
+def q_html_meta(spark, sf_dir):
+    """Page-metadata extraction (textops.html_meta): each doc is
+    wrapped in a deterministic page — UPPERCASE tags on doc_id%2==0 to
+    exercise (?i), title padded with whitespace the kernel must trim,
+    meta description absent on %4==0, canonical absent on %5==0, lang
+    attribute absent on %7==0 ('' on no-match, the ExtraString
+    contract).  Oracle replays the wrap and the same RE2-compatible
+    grammar."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    up = F.col("doc_id") % 2 == 0
+    html = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("<html>")).otherwise(
+            F.concat(
+                F.when(up, F.lit('<HTML lang="')).otherwise(F.lit('<html lang="')),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("en")).otherwise(F.lit("zh-CN")),
+                F.lit('">'),
+            )
+        ),
+        F.lit("<head>"),
+        F.when(up, F.lit("<TITLE> ")).otherwise(F.lit("<title> ")),
+        F.format_string("Page %d of ", F.col("doc_id")),
+        F.col("source"),
+        F.when(up, F.lit(" </TITLE>")).otherwise(F.lit(" </title>")),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("")
+        ).otherwise(
+            F.format_string(
+                '<meta name="description" content="summary %d here">',
+                F.col("doc_id") % 11,
+            )
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("")
+        ).otherwise(
+            F.format_string(
+                '<link rel="canonical" href="https://example.com/p/%d">',
+                F.col("doc_id") % 25,
+            )
+        ),
+        F.lit("</head><body>x</body></html>"),
+    )
+    return textops.html_meta(d.select("doc_id", html.alias("html")))
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2211,7 +2255,7 @@ QUERIES = {
     # -- late-r4 additions, below the window BY POLICY: entering them
     # now would displace rows that must re-verify this round (every
     # window row above is either never-driver-checked or was modified
-    # in r4).  All five are local-gate green (test_entry_contract) and
+    # in r4).  All six are local-gate green (test_entry_contract) and
     # are FIRST into the r5 window per the documented rotation — ahead
     # of the old-green rotation queue in SURVEY.md §round-5 plan.
     "url_features": q_url_features,
@@ -2219,6 +2263,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "readability": q_readability,
     "url_param_dedup": q_url_param_dedup,
+    "html_meta": q_html_meta,
 }
 
 # =====================================================================
@@ -4604,4 +4649,44 @@ ORACLES["url_param_dedup"] = r"""
            cast(count(distinct url) as bigint) as n_distinct_raw,
            cast(min(doc_id) as bigint) as keep_id
     from k group by url_canon
+"""
+
+ORACLES["html_meta"] = r"""
+    with u as (
+      select doc_id,
+             case when doc_id % 7 = 0 then '<html>'
+                  else (case when doc_id % 2 = 0 then '<HTML lang="'
+                             else '<html lang="' end)
+                       || (case when doc_id % 3 = 0 then 'en'
+                                else 'zh-CN' end) || '">' end
+             || '<head>'
+             || (case when doc_id % 2 = 0 then '<TITLE> '
+                      else '<title> ' end)
+             || 'Page ' || cast(doc_id as varchar) || ' of ' || source
+             || (case when doc_id % 2 = 0 then ' </TITLE>'
+                      else ' </title>' end)
+             || (case when doc_id % 4 = 0 then ''
+                      else '<meta name="description" content="summary '
+                           || cast(doc_id % 11 as varchar) || ' here">' end)
+             || (case when doc_id % 5 = 0 then ''
+                      else '<link rel="canonical" '
+                           || 'href="https://example.com/p/'
+                           || cast(doc_id % 25 as varchar) || '">' end)
+             || '</head><body>x</body></html>' as html
+      from documents
+    )
+    select doc_id,
+           trim(regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1))
+             as title,
+           regexp_extract(html,
+             '(?i)<meta[^>]+name="description"[^>]+content="([^"]*)"', 1)
+             as meta_desc,
+           regexp_extract(html,
+             '(?i)<link[^>]+rel="canonical"[^>]+href="([^"]*)"', 1)
+             as canonical,
+           regexp_extract(html, '(?i)<html[^>]+lang="([^"]*)"', 1)
+             as lang_attr,
+           cast(length(trim(regexp_extract(html,
+             '(?i)<title[^>]*>([^<]*)</title>', 1))) as bigint) as title_len
+    from u
 """

@@ -2086,3 +2086,42 @@ def readability_scores(
         grade.cast("long").alias("fk_grade_milli"),
         ease.cast("long").alias("reading_ease_milli"),
     )
+
+
+def html_meta(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Page-metadata extraction: ``(id, title, meta_desc, canonical,
+    lang_attr, title_len)`` — '' when a field is absent (the
+    ExtraString contract, parsers.py).
+
+    The generic twin of the reference's per-rule field extraction
+    (rule.go parseBookDetail pulls 7 named fields with one regex each;
+    reference/testhtml golden pages): title for display/title-dedup,
+    meta description for snippets, rel=canonical for the URL-collapse
+    stage (feeds urlfeat.url_param_dedup's canonical pick), and the
+    html lang attribute as a language-ID prior.  Single-grammar
+    attribute regexes (name-before-content, double quotes) — the
+    DOM-accurate extractor is a mapInPandas swap-in at the same call
+    site, the same seam main_content documents.
+
+    Scale shape: four anchored regexp_extracts in one scan projection —
+    zero shuffle, zero Python.
+    """
+    h = F.col(html_col)
+    title = F.trim(F.regexp_extract(h, "(?i)<title[^>]*>([^<]*)</title>", 1))
+    desc = F.regexp_extract(
+        h, '(?i)<meta[^>]+name="description"[^>]+content="([^"]*)"', 1
+    )
+    canon = F.regexp_extract(
+        h, '(?i)<link[^>]+rel="canonical"[^>]+href="([^"]*)"', 1
+    )
+    lang = F.regexp_extract(h, '(?i)<html[^>]+lang="([^"]*)"', 1)
+    return df.select(
+        F.col(id_col),
+        title.alias("title"),
+        desc.alias("meta_desc"),
+        canon.alias("canonical"),
+        lang.alias("lang_attr"),
+        F.length(title).cast("long").alias("title_len"),
+    )

@@ -164,3 +164,29 @@ def test_canonical_url_python_parity(spark):
     ).collect()
     for row in got:
         assert row.canon == py_canon(row.url), row.url
+
+
+def test_html_meta_extraction(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, '<html lang="en"><head><title> A Title </title>'
+                '<meta name="description" content="d1">'
+                '<link rel="canonical" href="https://x.com/a">'
+                "</head><body>x</body></html>"),
+            (2, '<HTML LANG="fr"><HEAD><TITLE>B</TITLE></HEAD>x</HTML>'),
+            (3, "<html><body>no head at all</body></html>"),
+        ],
+        ["doc_id", "html"],
+    )
+    got = _rows(textops.html_meta(pages), "doc_id")
+    a = got[1]
+    assert a["title"] == "A Title" and a["title_len"] == 7  # trimmed
+    assert a["meta_desc"] == "d1"
+    assert a["canonical"] == "https://x.com/a"
+    assert a["lang_attr"] == "en"
+    b = got[2]
+    assert b["title"] == "B" and b["lang_attr"] == "fr"  # (?i) both attrs
+    assert b["meta_desc"] == "" and b["canonical"] == ""
+    c = got[3]  # ExtraString contract: '' on every no-match
+    assert (c["title"], c["meta_desc"], c["canonical"], c["lang_attr"]) == \
+        ("", "", "", "") and c["title_len"] == 0
