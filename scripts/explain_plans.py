@@ -324,9 +324,24 @@ def main() -> None:
            "", "Generated by `python scripts/explain_plans.py`.", ""]
     for title, props, plan in sections:
         out += [f"## {title}", "", props, "", "```", plan, "```", ""]
-    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+    # hand-maintained witness sections (plans measured when each query
+    # landed, with their MUST properties) live below the marker — carry
+    # them over so a regeneration never destroys them
+    marker = ("<!-- hand-maintained witnesses below: explain_plans.py "
+              "preserves this tail on regeneration -->")
+    path = os.path.join(REPO, "PLANS.md")
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = f.read()
+        if marker in prev:
+            tail = prev[prev.index(marker):]
+    with open(path, "w") as f:
         f.write("\n".join(out))
-    print(f"PLANS.md written ({len(sections)} sections)")
+        if tail:
+            f.write(tail)
+    print(f"PLANS.md written ({len(sections)} generated sections"
+          f"{' + hand tail' if tail else ''})")
     spark.stop()
 
 
