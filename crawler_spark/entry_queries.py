@@ -2123,6 +2123,45 @@ def q_html_meta(spark, sf_dir):
     return textops.html_meta(d.select("doc_id", html.alias("html")))
 
 
+def q_img_alt_pairs(spark, sf_dir):
+    """LAION-style image-text pair mining (textops.img_alt_pairs):
+    every doc gets three deterministic <img> tags — a good pair (alt
+    from the doc's first words, attribute order flipped and tag
+    uppercased on doc_id%2==0), an alt-missing tag, and a short-alt tag
+    (doc_id%3==0) that the min_alt_chars filter drops; doc_id%6==0 adds
+    a src-less tag.  img_idx pins tag order.  Oracle replays the wrap
+    with the same RE2 grammar and the unnest-with-index CTE."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    cap = F.substring(F.col("text"), 1, 24)
+    good = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<IMG alt="'), cap, F.lit('" src="https://img.example.com/i'),
+                 F.col("doc_id").cast("string"), F.lit('.jpg">')),
+    ).otherwise(
+        F.concat(F.lit('<img src="https://img.example.com/i'),
+                 F.col("doc_id").cast("string"), F.lit('.jpg" alt="'), cap,
+                 F.lit('">')),
+    )
+    noalt = F.concat(
+        F.lit('<img src="https://img.example.com/n'),
+        F.col("doc_id").cast("string"), F.lit('.png">'),
+    )
+    shortalt = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<img src="https://img.example.com/s'),
+                 F.col("doc_id").cast("string"), F.lit('.gif" alt="ok">')),
+    ).otherwise(F.lit(""))
+    nosrc = F.when(
+        F.col("doc_id") % 6 == 0, F.lit('<img alt="a caption with no src here">')
+    ).otherwise(F.lit(""))
+    # nosrc FIRST so the surviving pair's img_idx varies (1 on %6==0)
+    html = F.concat(
+        F.lit("<html><body><p>x</p>"), nosrc, good, noalt, shortalt,
+        F.lit("</body></html>"),
+    )
+    return textops.img_alt_pairs(d.select("doc_id", html.alias("html")))
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2255,7 +2294,7 @@ QUERIES = {
     # -- late-r4 additions, below the window BY POLICY: entering them
     # now would displace rows that must re-verify this round (every
     # window row above is either never-driver-checked or was modified
-    # in r4).  All six are local-gate green (test_entry_contract) and
+    # in r4).  All seven are local-gate green (test_entry_contract) and
     # are FIRST into the r5 window per the documented rotation — ahead
     # of the old-green rotation queue in SURVEY.md §round-5 plan.
     "url_features": q_url_features,
@@ -2264,6 +2303,7 @@ QUERIES = {
     "readability": q_readability,
     "url_param_dedup": q_url_param_dedup,
     "html_meta": q_html_meta,
+    "img_alt_pairs": q_img_alt_pairs,
 }
 
 # =====================================================================
@@ -4689,4 +4729,45 @@ ORACLES["html_meta"] = r"""
            cast(length(trim(regexp_extract(html,
              '(?i)<title[^>]*>([^<]*)</title>', 1))) as bigint) as title_len
     from u
+"""
+
+ORACLES["img_alt_pairs"] = r"""
+    with u as (
+      select doc_id,
+             '<html><body><p>x</p>'
+             || (case when doc_id % 6 = 0
+                      then '<img alt="a caption with no src here">'
+                      else '' end)
+             || (case when doc_id % 2 = 0
+                      then '<IMG alt="' || substr(text, 1, 24)
+                           || '" src="https://img.example.com/i'
+                           || cast(doc_id as varchar) || '.jpg">'
+                      else '<img src="https://img.example.com/i'
+                           || cast(doc_id as varchar) || '.jpg" alt="'
+                           || substr(text, 1, 24) || '">' end)
+             || '<img src="https://img.example.com/n'
+             || cast(doc_id as varchar) || '.png">'
+             || (case when doc_id % 3 = 0
+                      then '<img src="https://img.example.com/s'
+                           || cast(doc_id as varchar) || '.gif" alt="ok">'
+                      else '' end)
+             || '</body></html>' as html
+      from documents
+    ), a as (
+      select doc_id, regexp_extract_all(html, '(?i)<img\b[^>]*>') as tags
+      from u
+    ), t as (
+      select doc_id, i - 1 as img_idx, tags[i] as tag
+      from a, unnest(generate_series(1, len(tags))) as g(i)
+    ), f as (
+      select doc_id,
+             cast(img_idx as bigint) as img_idx,
+             regexp_extract(tag, '(?i)src="([^"]*)"', 1) as src,
+             trim(regexp_extract(tag, '(?i)alt="([^"]*)"', 1)) as alt
+      from t
+    )
+    select doc_id, img_idx, src, alt,
+           cast(length(alt) as bigint) as alt_len
+    from f
+    where src <> '' and length(alt) >= 5
 """

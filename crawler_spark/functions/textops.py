@@ -2125,3 +2125,43 @@ def html_meta(
         lang.alias("lang_attr"),
         F.length(title).cast("long").alias("title_len"),
     )
+
+
+def img_alt_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_alt_chars: int = 5,
+) -> DataFrame:
+    """Image-text pair mining: ``(id, img_idx, src, alt, alt_len)`` —
+    one row per ``<img>`` tag carrying BOTH a src and an alt of at
+    least ``min_alt_chars`` visible characters.
+
+    The LAION-style pairing step: alt text is the caption supervision
+    for image-text training, and this op feeds the multimodal column
+    plumbing (multimodal.decode_image consumes the fetched src bytes).
+    Tag-level extraction with per-tag attribute regexes, so attribute
+    ORDER within the tag doesn't matter; pairs with empty src or
+    too-short alt are dropped (the classic LAION length filter).
+
+    Scale shape: one regexp_extract_all + posexplode per row (output
+    grows with tag count, not corpus width), then scan-local attribute
+    extracts and the length filter — no shuffle, no Python.
+    """
+    h = F.col(html_col)
+    tags = F.regexp_extract_all(h, F.lit(r"(?i)<img\b[^>]*>"), 0)
+    t = df.select(
+        F.col(id_col), F.posexplode(tags).alias("img_idx", "tag")
+    )
+    src = F.regexp_extract(F.col("tag"), '(?i)src="([^"]*)"', 1)
+    alt = F.trim(F.regexp_extract(F.col("tag"), '(?i)alt="([^"]*)"', 1))
+    return (
+        t.select(
+            F.col(id_col),
+            F.col("img_idx").cast("long").alias("img_idx"),
+            src.alias("src"),
+            alt.alias("alt"),
+            F.length(alt).cast("long").alias("alt_len"),
+        )
+        .where((F.col("src") != "") & (F.col("alt_len") >= min_alt_chars))
+    )

@@ -190,3 +190,27 @@ def test_html_meta_extraction(spark):
     c = got[3]  # ExtraString contract: '' on every no-match
     assert (c["title"], c["meta_desc"], c["canonical"], c["lang_attr"]) == \
         ("", "", "", "") and c["title_len"] == 0
+
+
+def test_img_alt_pairs_filters_and_order(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, '<body><img src="/a.jpg" alt="a fine caption">'
+                '<img src="/b.jpg">'                      # no alt: dropped
+                '<IMG ALT="upper tag ok" SRC="/c.jpg">'   # (?i), order-flipped
+                '<img src="/d.jpg" alt="tiny">'           # < 5 chars: dropped
+                '<img alt="no src here at all">'          # no src: dropped
+                '<img src="/e.jpg" alt="  padded alt  ">'  # trimmed
+                "</body>"),
+            (2, "<body>no images</body>"),
+        ],
+        ["doc_id", "html"],
+    )
+    rows = textops.img_alt_pairs(pages).collect()
+    assert {r.doc_id for r in rows} == {1}
+    got = {r.img_idx: (r.src, r.alt, r.alt_len) for r in rows}
+    assert got == {
+        0: ("/a.jpg", "a fine caption", 14),
+        2: ("/c.jpg", "upper tag ok", 12),
+        5: ("/e.jpg", "padded alt", 10),
+    }
