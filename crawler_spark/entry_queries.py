@@ -2162,6 +2162,41 @@ def q_img_alt_pairs(spark, sf_dir):
     return textops.img_alt_pairs(d.select("doc_id", html.alias("html")))
 
 
+def q_robots_meta(spark, sf_dir):
+    """REP page directives (textops.robots_meta): the meta content
+    cycles '', noindex, nofollow, 'noindex, nofollow', NONE (uppercase
+    — the kernel lowercases; 'none' implies both flags) by doc_id%5;
+    three anchors per page with rel="nofollow" on the second when
+    doc_id%3==0 and a rel="ugc nofollow" multi-token on the third when
+    doc_id%7==0.  Oracle replays the wrap, the contains logic, and
+    both tag counts."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    meta = (
+        F.when(F.col("doc_id") % 5 == 1,
+               F.lit('<meta name="robots" content="noindex">'))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit('<meta name="robots" content="nofollow">'))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 5 == 4,
+              F.lit('<meta name="robots" content="NONE">'))
+        .otherwise(F.lit(""))
+    )
+    a2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit('<a href="/two" rel="nofollow">t</a>'),
+    ).otherwise(F.lit('<a href="/two">t</a>'))
+    a3 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit('<a rel="ugc nofollow" href="/three">u</a>'),
+    ).otherwise(F.lit('<a href="/three">u</a>'))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit('</head><body><a href="/one">o</a>'),
+        a2, a3, F.lit("</body></html>"),
+    )
+    return textops.robots_meta(d.select("doc_id", html.alias("html")))
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2294,7 +2329,7 @@ QUERIES = {
     # -- late-r4 additions, below the window BY POLICY: entering them
     # now would displace rows that must re-verify this round (every
     # window row above is either never-driver-checked or was modified
-    # in r4).  All seven are local-gate green (test_entry_contract) and
+    # in r4).  All eight are local-gate green (test_entry_contract) and
     # are FIRST into the r5 window per the documented rotation — ahead
     # of the old-green rotation queue in SURVEY.md §round-5 plan.
     "url_features": q_url_features,
@@ -2304,6 +2339,7 @@ QUERIES = {
     "url_param_dedup": q_url_param_dedup,
     "html_meta": q_html_meta,
     "img_alt_pairs": q_img_alt_pairs,
+    "robots_meta": q_robots_meta,
 }
 
 # =====================================================================
@@ -4770,4 +4806,44 @@ ORACLES["img_alt_pairs"] = r"""
            cast(length(alt) as bigint) as alt_len
     from f
     where src <> '' and length(alt) >= 5
+"""
+
+ORACLES["robots_meta"] = r"""
+    with u as (
+      select doc_id,
+             '<html><head>'
+             || (case doc_id % 5
+                   when 1 then '<meta name="robots" content="noindex">'
+                   when 2 then '<meta name="robots" content="nofollow">'
+                   when 3 then '<meta name="robots" content="noindex, nofollow">'
+                   when 4 then '<meta name="robots" content="NONE">'
+                   else '' end)
+             || '</head><body><a href="/one">o</a>'
+             || (case when doc_id % 3 = 0
+                      then '<a href="/two" rel="nofollow">t</a>'
+                      else '<a href="/two">t</a>' end)
+             || (case when doc_id % 7 = 0
+                      then '<a rel="ugc nofollow" href="/three">u</a>'
+                      else '<a href="/three">u</a>' end)
+             || '</body></html>' as html
+      from documents
+    ), c as (
+      select doc_id,
+             lower(regexp_extract(html,
+               '(?i)<meta[^>]+name="robots"[^>]+content="([^"]*)"', 1))
+               as content,
+             len(regexp_extract_all(html, '(?i)<a\b[^>]*>')) as n_links,
+             len(regexp_extract_all(html,
+               '(?i)<a\b[^>]*rel="[^"]*nofollow[^"]*"[^>]*>'))
+               as n_nofollow_links
+      from u
+    )
+    select doc_id,
+           (contains(content, 'noindex') or contains(content, 'none'))
+             as noindex,
+           (contains(content, 'nofollow') or contains(content, 'none'))
+             as nofollow,
+           cast(n_links as bigint) as n_links,
+           cast(n_nofollow_links as bigint) as n_nofollow_links
+    from c
 """

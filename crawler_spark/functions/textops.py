@@ -2165,3 +2165,45 @@ def img_alt_pairs(
         )
         .where((F.col("src") != "") & (F.col("alt_len") >= min_alt_chars))
     )
+
+
+def robots_meta(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Robots-Exclusion-Protocol page directives: ``(id, noindex,
+    nofollow, n_links, n_nofollow_links)``.
+
+    The page-level complement of robots.txt (politeness.py parses the
+    host-level file): ``<meta name="robots" content="noindex">`` means
+    the page must not enter the corpus, ``nofollow`` (or the ``none``
+    shorthand, which implies both) means its outlinks must not enter
+    the frontier, and per-anchor ``rel="nofollow"`` excludes single
+    links from the link graph (anchors.py / graph.py consumers).
+    A crawler that ignores these ships takedown liabilities; the
+    reference respects only robots.txt.
+
+    Scale shape: two regexp extracts + two regexp_extract_all counts
+    in one scan projection — zero shuffle, zero Python.
+    """
+    h = F.col(html_col)
+    content = F.lower(
+        F.regexp_extract(
+            h, '(?i)<meta[^>]+name="robots"[^>]+content="([^"]*)"', 1
+        )
+    )
+    none = content.contains("none")
+    noindex = content.contains("noindex") | none
+    nofollow = content.contains("nofollow") | none
+    n_links = F.size(F.regexp_extract_all(h, F.lit(r"(?i)<a\b[^>]*>"), 0))
+    n_nof = F.size(
+        F.regexp_extract_all(
+            h, F.lit(r'(?i)<a\b[^>]*rel="[^"]*nofollow[^"]*"[^>]*>'), 0
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        n_links.cast("long").alias("n_links"),
+        n_nof.cast("long").alias("n_nofollow_links"),
+    )

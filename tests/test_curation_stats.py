@@ -214,3 +214,26 @@ def test_img_alt_pairs_filters_and_order(spark):
         2: ("/c.jpg", "upper tag ok", 12),
         5: ("/e.jpg", "padded alt", 10),
     }
+
+
+def test_robots_meta_directives(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, '<head><meta name="robots" content="noindex"></head>'
+                '<a href="/x">x</a>'),
+            (2, '<head><meta name="robots" content="NONE"></head>'
+                '<a href="/x" rel="nofollow">x</a><a href="/y">y</a>'),
+            (3, "<head></head><a rel='single-quoted' href='/x'>x</a>"
+                '<a rel="ugc nofollow" href="/y">y</a>'),
+            (4, '<head><meta name="robots" content="NOFOLLOW"></head>'),
+        ],
+        ["doc_id", "html"],
+    )
+    got = _rows(textops.robots_meta(pages), "doc_id")
+    assert got[1]["noindex"] and not got[1]["nofollow"]
+    assert got[2]["noindex"] and got[2]["nofollow"]  # 'none' implies both
+    assert got[2]["n_links"] == 2 and got[2]["n_nofollow_links"] == 1
+    assert not got[3]["noindex"] and not got[3]["nofollow"]
+    assert got[3]["n_links"] == 2 and got[3]["n_nofollow_links"] == 1
+    assert got[4]["nofollow"] and not got[4]["noindex"]  # case-folded
+    assert got[4]["n_links"] == 0
