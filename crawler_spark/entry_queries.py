@@ -2197,6 +2197,36 @@ def q_robots_meta(spark, sf_dir):
     return textops.robots_meta(d.select("doc_id", html.alias("html")))
 
 
+def q_intradoc_dedup(spark, sf_dir):
+    """Intra-document repeated-line removal (dedup.drop_repeated_lines):
+    line structure planted as in q_line_dedup (newline after every 8
+    words, same regexp both engines), with a nav line prepended to every
+    doc and repeated at the bottom on doc_id%2==0 plus a trim-variant
+    repeat (' nav home about ') on doc_id%3==0 — so exact repeats,
+    trim-normalized repeats, and no-repeat docs all occur.  First
+    occurrence wins; the value hash proves the drop set AND the
+    reassembly order match DuckDB exactly."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lined = F.regexp_replace(F.col("text"), r"((\S+ ){8})", "$1\n")
+    planted = F.concat(
+        F.lit("nav home about\n"),
+        lined,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\nnav home about"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\n nav home about "))
+        .otherwise(F.lit("")),
+    )
+    out = dedup.drop_repeated_lines(
+        d.select("doc_id", planted.alias("text")), "doc_id"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("kept_text").alias("kept_md5"),
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2329,7 +2359,7 @@ QUERIES = {
     # -- late-r4 additions, below the window BY POLICY: entering them
     # now would displace rows that must re-verify this round (every
     # window row above is either never-driver-checked or was modified
-    # in r4).  All eight are local-gate green (test_entry_contract) and
+    # in r4).  All nine are local-gate green (test_entry_contract) and
     # are FIRST into the r5 window per the documented rotation — ahead
     # of the old-green rotation queue in SURVEY.md §round-5 plan.
     "url_features": q_url_features,
@@ -2340,6 +2370,7 @@ QUERIES = {
     "html_meta": q_html_meta,
     "img_alt_pairs": q_img_alt_pairs,
     "robots_meta": q_robots_meta,
+    "intradoc_dedup": q_intradoc_dedup,
 }
 
 # =====================================================================
@@ -4846,4 +4877,34 @@ ORACLES["robots_meta"] = r"""
            cast(n_links as bigint) as n_links,
            cast(n_nofollow_links as bigint) as n_nofollow_links
     from c
+"""
+
+ORACLES["intradoc_dedup"] = r"""
+    with planted as (
+      select doc_id,
+             'nav home about' || chr(10) ||
+             regexp_replace(text, '((\S+ ){8})', '\1' || chr(10), 'g')
+             || case when doc_id % 2 = 0
+                     then chr(10) || 'nav home about' else '' end
+             || case when doc_id % 3 = 0
+                     then chr(10) || ' nav home about ' else '' end as t
+      from documents
+    ), lines as (
+      select doc_id,
+             unnest(string_split(t, chr(10))) as line,
+             unnest(range(1, len(string_split(t, chr(10))) + 1)) as pos
+      from planted
+    ), firsts as (
+      select doc_id, pos, line,
+             row_number() over (
+               partition by doc_id, md5(trim(line)) order by pos) as rn
+      from lines
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_lines,
+           cast(count(*) filter (where rn = 1) as bigint) as n_kept,
+           md5(coalesce(
+             string_agg(line, chr(10) order by pos) filter (where rn = 1),
+             '')) as kept_md5
+    from firsts group by doc_id
 """

@@ -764,6 +764,68 @@ def drop_common_lines(df: DataFrame, id_col: str, text_col: str = "text",
     )
 
 
+def drop_repeated_lines(df: DataFrame, id_col: str, text_col: str = "text",
+                        sep: str = "\n") -> DataFrame:
+    """Intra-document repeated-line removal: within each document, keep
+    only the FIRST occurrence of each trimmed line form; later repeats
+    are dropped and the document reassembled in original order.
+
+    The cutting complement of ``textops.repetition_scores`` (which only
+    FLAGS repetitious documents, Gopher A1.1) and the within-doc twin of
+    :func:`drop_common_lines` (which drops lines shared ACROSS >=
+    min_docs documents) — the Gopher/RefinedWeb pipelines apply exactly
+    this cut to nav menus and list boilerplate repeated inside one page
+    before corpus-level dedup runs.
+
+    Returns one row per input document:
+    ``(id, n_lines, n_kept, kept_text)`` — same contract shape as
+    :func:`drop_common_lines` so the two stages compose.
+
+    Scale shape: posexplode is a scan-local ~lines-per-doc expansion;
+    the first-occurrence pick is one window over (doc, line
+    fingerprint) and reassembly one groupBy on the doc id — two
+    shuffles, BOTH keyed on the document id, so rows-per-key is bounded
+    by lines-per-doc and no corpus-wide hot key can exist (unlike the
+    cross-doc stage, where a universal footer is the skewed key).
+    Everything is built-in SQL — no Python.
+    """
+    ident = F.col(id_col)
+    lines = df.select(
+        ident.alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__fp", F.md5(F.trim(F.col("__line"))))
+    # Window partitioned by __doc ALONE (ordered __fp then __pos): equal
+    # fps form contiguous runs sorted by position, so a run START is
+    # exactly the first occurrence — and because the window's required
+    # distribution is hashpartitioning(__doc), the reassembly groupBy
+    # below reuses it and the whole kernel costs ONE shuffle (the
+    # (__doc,__fp)-windowed row_number variant costs two; plan-asserted
+    # in tests).
+    w = Window.partitionBy("__doc").orderBy("__fp", "__pos")
+    prev_fp = F.lag("__fp").over(w)
+    first = lines.withColumn(
+        "__first", prev_fp.isNull() | (prev_fp != F.col("__fp"))
+    )
+    kept_struct = F.when(
+        F.col("__first"), F.struct(F.col("__pos"), F.col("__line"))
+    )
+    return (
+        first.groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(kept_struct).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s.getField("__line"),
+                ),
+                sep,
+            ).alias("kept_text"),
+        )
+        .withColumnRenamed("__doc", id_col)
+    )
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs within Hamming distance via 4x16-bit band blocking

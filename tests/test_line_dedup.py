@@ -50,3 +50,54 @@ def test_drop_common_lines_threshold(spark):
         min_docs=3,
     )
     assert all(g["n_kept"] == g["n_lines"] for g in got.values())
+
+
+def test_drop_repeated_lines_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            # nav menu repeated top and bottom; ' home ' trims to 'home'
+            (1, "home\nunique alpha\nhome\nunique beta\n home "),
+            (2, "solo"),
+            (3, "same\nsame\nsame"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup.drop_repeated_lines(df, "doc_id").collect()}
+    assert got[1]["n_lines"] == 5 and got[1]["n_kept"] == 3
+    # first occurrence kept, original order preserved on reassembly
+    assert got[1]["kept_text"] == "home\nunique alpha\nunique beta"
+    assert got[2]["kept_text"] == "solo" and got[2]["n_kept"] == 1
+    assert got[3]["n_lines"] == 3 and got[3]["n_kept"] == 1
+    assert got[3]["kept_text"] == "same"
+
+
+def test_drop_repeated_lines_composes_with_cross_doc(spark):
+    # intra-doc cut first, then the cross-doc boilerplate stage: the
+    # footer every doc repeats internally still counts each doc ONCE
+    # toward min_docs after the intra cut.
+    df = spark.createDataFrame(
+        [
+            (1, "footer\nbody one\nfooter"),
+            (2, "footer\nbody two\nfooter"),
+            (3, "footer\nbody three"),
+        ],
+        ["doc_id", "text"],
+    )
+    intra = dedup.drop_repeated_lines(df, "doc_id")
+    out = dedup.drop_common_lines(
+        intra.select("doc_id", intra.kept_text.alias("text")),
+        "doc_id", min_docs=3,
+    )
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[1]["kept_text"] == "body one"
+    assert got[3]["kept_text"] == "body three"
+
+
+def test_drop_repeated_lines_one_shuffle(spark):
+    # the __doc-alone window partitioning exists so reassembly reuses
+    # it: the whole kernel must cost exactly ONE Exchange.
+    df = spark.createDataFrame([(1, "a\nb\na")], ["doc_id", "text"])
+    plan = dedup.drop_repeated_lines(df, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
