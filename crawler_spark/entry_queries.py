@@ -2227,6 +2227,37 @@ def q_intradoc_dedup(spark, sf_dir):
     )
 
 
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME sniffing (multimodal.sniff_mime): doc_id%9
+    cycles PNG/JPEG/GIF89a/PDF/gzip/RIFF-WAVE/'<!DOCTYPE'/RIFF-WEBP/
+    no-magic payloads, each with a doc-dependent suffix byte, built as
+    hex and unhex'd into a real binary column.  The kernel slices the
+    first 12 bytes, hexes, and routes on the prefix table (RIFF
+    disambiguated on the byte-9..12 tag); the oracle replays the same
+    hex synthesis and prefix table on the string — so the row checks
+    the Spark-side unhex->slice->hex round trip end-to-end."""
+    from .functions import multimodal
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    magic = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit("89504E47"))
+        .when(F.col("doc_id") % 9 == 1, F.lit("FFD8FFE0"))
+        .when(F.col("doc_id") % 9 == 2, F.lit("474946383961"))
+        .when(F.col("doc_id") % 9 == 3, F.lit("25504446"))
+        .when(F.col("doc_id") % 9 == 4, F.lit("1F8B"))
+        .when(F.col("doc_id") % 9 == 5,
+              F.lit("524946460100000057415645"))
+        .when(F.col("doc_id") % 9 == 6, F.lit("3C21444F4354595045"))
+        .when(F.col("doc_id") % 9 == 7,
+              F.lit("524946460100000057454250"))
+        .otherwise(F.lit("00FFEE"))
+    )
+    hx = F.concat(magic, F.lpad(F.hex(F.col("doc_id") % 251), 2, "0"))
+    return multimodal.sniff_mime(
+        d.select("doc_id", F.unhex(hx).alias("content"))
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2359,7 +2390,7 @@ QUERIES = {
     # -- late-r4 additions, below the window BY POLICY: entering them
     # now would displace rows that must re-verify this round (every
     # window row above is either never-driver-checked or was modified
-    # in r4).  All nine are local-gate green (test_entry_contract) and
+    # in r4).  All ten are local-gate green (test_entry_contract) and
     # are FIRST into the r5 window per the documented rotation — ahead
     # of the old-green rotation queue in SURVEY.md §round-5 plan.
     "url_features": q_url_features,
@@ -2371,6 +2402,7 @@ QUERIES = {
     "img_alt_pairs": q_img_alt_pairs,
     "robots_meta": q_robots_meta,
     "intradoc_dedup": q_intradoc_dedup,
+    "mime_sniff": q_mime_sniff,
 }
 
 # =====================================================================
@@ -4907,4 +4939,43 @@ ORACLES["intradoc_dedup"] = r"""
              string_agg(line, chr(10) order by pos) filter (where rn = 1),
              '')) as kept_md5
     from firsts group by doc_id
+"""
+
+ORACLES["mime_sniff"] = r"""
+    with u as (
+      select doc_id,
+             (case doc_id % 9
+                when 0 then '89504E47'
+                when 1 then 'FFD8FFE0'
+                when 2 then '474946383961'
+                when 3 then '25504446'
+                when 4 then '1F8B'
+                when 5 then '524946460100000057415645'
+                when 6 then '3C21444F4354595045'
+                when 7 then '524946460100000057454250'
+                else '00FFEE' end)
+             || lpad(hex(doc_id % 251), 2, '0') as hx
+      from documents
+    )
+    select doc_id,
+           case
+             when starts_with(hx, '89504E47') then 'image/png'
+             when starts_with(hx, 'FFD8FF') then 'image/jpeg'
+             when starts_with(hx, '47494638') then 'image/gif'
+             when starts_with(hx, '25504446') then 'application/pdf'
+             when starts_with(hx, '1F8B') then 'application/gzip'
+             when starts_with(hx, '504B0304') then 'application/zip'
+             when starts_with(hx, '3C21444F43545950') then 'text/html'
+             when starts_with(hx, '3C68746D6C') then 'text/html'
+             when starts_with(hx, '3C48544D4C') then 'text/html'
+             when starts_with(hx, '52494646')
+                  and substring(hx, 17, 8) = '57415645' then 'audio/wav'
+             when starts_with(hx, '52494646')
+                  and substring(hx, 17, 8) = '57454250' then 'image/webp'
+             when starts_with(hx, '52494646')
+                  and substring(hx, 17, 8) = '41564920'
+                  then 'video/x-msvideo'
+             else 'application/octet-stream'
+           end as mime
+    from u
 """
