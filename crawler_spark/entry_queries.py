@@ -2258,6 +2258,37 @@ def q_mime_sniff(spark, sf_dir):
     )
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (hoststats.mirror_hosts): 30 synthetic
+    hosts, slot = doc_id div 30.  Hosts h10-h19 mirror h00-h09 on
+    every slot except slot%4==0 (~75% overlap); h20-h29 are unique;
+    slot 0 is one boilerplate page shared by ALL hosts, so every host
+    pair shares >=1 fingerprint and min_shared=2 must kill the 425
+    noise pairs, leaving the 10 mirror pairs.  max_hosts_per_fp=None
+    so the oracle (which replays the synthesis, the md5 fingerprint,
+    the distinct/self-join, and the least() containment exactly)
+    needs no cap mirroring — the containment-oracle lesson."""
+    from .functions import hoststats
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    h = F.col("doc_id") % 30
+    slot = F.floor(F.col("doc_id") / 30).cast("long")
+    text = (
+        F.when(slot == 0, F.lit("boilerplate landing page"))
+        .when(
+            h.between(10, 19) & (slot % 4 != 0),
+            F.format_string("c %d %d", h - 10, slot),
+        )
+        .when(h.between(10, 19), F.format_string("u %d %d", h, slot))
+        .when(h < 10, F.format_string("c %d %d", h, slot))
+        .otherwise(F.format_string("u %d %d", h, slot))
+    )
+    syn = d.select(
+        F.format_string("h%02d", h).alias("host"), text.alias("text")
+    )
+    return hoststats.mirror_hosts(syn, max_hosts_per_fp=None)
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2403,6 +2434,7 @@ QUERIES = {
     "robots_meta": q_robots_meta,
     "intradoc_dedup": q_intradoc_dedup,
     "mime_sniff": q_mime_sniff,
+    "mirror_hosts": q_mirror_hosts,
 }
 
 # =====================================================================
@@ -4978,4 +5010,45 @@ ORACLES["mime_sniff"] = r"""
              else 'application/octet-stream'
            end as mime
     from u
+"""
+
+ORACLES["mirror_hosts"] = r"""
+    with syn as (
+      select printf('h%02d', doc_id % 30) as host,
+             (doc_id % 30) as h,
+             (doc_id // 30) as slot
+      from documents
+    ), txt as (
+      select host,
+             case when slot = 0 then 'boilerplate landing page'
+                  when h between 10 and 19 and slot % 4 <> 0
+                       then printf('c %d %d', h - 10, slot)
+                  when h between 10 and 19
+                       then printf('u %d %d', h, slot)
+                  when h < 10 then printf('c %d %d', h, slot)
+                  else printf('u %d %d', h, slot) end as text
+      from syn
+    ), hf as (
+      select distinct host,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
+      from txt
+    ), sizes as (
+      select host, count(*) as n_fp from hf group by host
+    ), pairs as (
+      select a.host as host_lo, b.host as host_hi,
+             count(*) as shared
+      from hf a join hf b on a.fp = b.fp and a.host < b.host
+      group by 1, 2
+      having count(*) >= 2
+    )
+    select p.host_lo, p.host_hi,
+           cast(p.shared as bigint) as shared,
+           cast(floor(p.shared * 1000000.0
+                      / least(sl.n_fp, sh.n_fp)) as bigint)
+             as overlap_micro
+    from pairs p
+    join sizes sl on sl.host = p.host_lo
+    join sizes sh on sh.host = p.host_hi
+    where floor(p.shared * 1000000.0 / least(sl.n_fp, sh.n_fp))
+          >= 500000
 """

@@ -127,6 +127,85 @@ def tag_blocked(
     )
 
 
+def mirror_hosts(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_shared: int = 2,
+    threshold_micro: int = 500_000,
+    max_hosts_per_fp: int | None = 1_000,
+) -> DataFrame:
+    """Mirror/alias HOST-pair detection: ``(host_lo, host_hi, shared,
+    overlap_micro)`` for host pairs whose page-content fingerprints
+    overlap — the site-level complement of the doc-level dedup family.
+    Web corpora carry the same site under many hostnames (www/apex,
+    country mirrors, CDN aliases, scraped re-hosts); doc-level dedup
+    removes the pages one by one, but the *scheduler* needs the host
+    relation itself to stop crawling the mirror at the frontier (the
+    reference crawls every seed independently and would fetch a mirror
+    site in full).  overlap_micro = floor(shared * 1e6 / min(|fp set|))
+    — containment on the SMALLER host, so a small alias fully inside a
+    big site scores ~1e6 even though the big site has more pages.
+
+    Scale shape: the corpus is reduced ONCE to distinct (host, fp)
+    rows (fingerprint is scan-local codegen); pair generation is an
+    inverted-index self-join keyed by fingerprint — shuffle bounded by
+    posting-list sizes, never all-pairs over hosts.  The posting list
+    of a fingerprint is capped at ``max_hosts_per_fp`` (default 1000):
+    a page body shared by MORE hosts than that is web-wide boilerplate
+    (parked-domain lander, CMS default page) whose pairs are
+    meaningless and whose posting list alone would be quadratic —
+    same stop-key discipline as the shingle kernels' ``max_df``.
+    ``min_shared`` (default 2) kills single-shared-page noise pairs
+    before the size join.
+    """
+    hf = df.select(
+        F.col(host_col).alias("host"),
+        textops.fingerprint_md5(F.col(text_col)).alias("fp"),
+    ).distinct()
+    sizes = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_fp"))
+    if max_hosts_per_fp is not None:
+        keep = (
+            hf.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") <= max_hosts_per_fp)
+        )
+        hf = hf.join(keep.select("fp"), "fp")
+    a, b = hf.alias("a"), hf.alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("a.host") < F.col("b.host"))
+        .groupBy(
+            F.col("a.host").alias("host_lo"),
+            F.col("b.host").alias("host_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("host").alias("host_lo"),
+                         F.col("n_fp").alias("n_lo")),
+            "host_lo",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_hi"),
+                         F.col("n_fp").alias("n_hi")),
+            "host_hi",
+        )
+        .withColumn(
+            "overlap_micro",
+            F.floor(
+                F.col("shared") * 1_000_000 / F.least("n_lo", "n_hi")
+            ).cast("long"),
+        )
+        .where(F.col("overlap_micro") >= threshold_micro)
+        .select("host_lo", "host_hi",
+                F.col("shared").cast("long").alias("shared"),
+                "overlap_micro")
+    )
+
+
 # ------------------------------------------------ registered domain
 # Curated subset of the Public Suffix List (publicsuffix.org — public
 # data); the seam for a full-PSL deployment is the `suffixes` argument.
