@@ -2289,6 +2289,56 @@ def q_mirror_hosts(spark, sf_dir):
     return hoststats.mirror_hosts(syn, max_hosts_per_fp=None)
 
 
+def q_date_extract(spark, sf_dir):
+    """Publication-date extraction (dates.date_extract): doc_id%6
+    cycles the five sources — OG meta (with a T10:00:00Z timestamp to
+    check truncation AND a decoy bare date in the body to check
+    priority), <time datetime>, JSON-LD (spaces around the colon),
+    /YYYY/MM/DD/ permalink URL, bare body date — and a no-date case
+    for the null path.  Dates are calendar-plausible by construction
+    (y 2000-2019, m 1-12, d 1-28); the oracle replays the synthesis
+    and the exact regex chain."""
+    from .functions import dates
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    k = F.col("doc_id") % 6
+    dt = F.format_string(
+        "%d-%02d-%02d",
+        F.lit(2000) + F.col("doc_id") % 20,
+        F.lit(1) + F.col("doc_id") % 12,
+        F.lit(1) + F.col("doc_id") % 28,
+    )
+    html = (
+        F.when(k == 0, F.concat(
+            F.lit('<head><meta property="article:published_time" '
+                  'content="'), dt,
+            F.lit('T10:00:00Z"></head><body>also seen '), dt,
+            F.lit("</body>")))
+        .when(k == 1, F.concat(
+            F.lit('<body><time datetime="'), dt,
+            F.lit('">then</time></body>')))
+        .when(k == 2, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"datePublished" : "'), dt,
+            F.lit('T00:00:00"}</script>')))
+        .when(k == 4, F.concat(
+            F.lit("<body>posted on "), dt, F.lit(" by staff</body>")))
+        .otherwise(F.lit("<body>no dates here</body>"))
+    )
+    url = F.when(k == 3, F.concat(
+        F.lit("https://ex.com"),
+        F.format_string(
+            "/%d/%02d/%02d/post",
+            F.lit(2000) + F.col("doc_id") % 20,
+            F.lit(1) + F.col("doc_id") % 12,
+            F.lit(1) + F.col("doc_id") % 28,
+        ),
+    )).otherwise(F.lit("https://ex.com/p/1"))
+    return dates.date_extract(
+        d.select("doc_id", html.alias("html"), url.alias("url"))
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2435,6 +2485,7 @@ QUERIES = {
     "intradoc_dedup": q_intradoc_dedup,
     "mime_sniff": q_mime_sniff,
     "mirror_hosts": q_mirror_hosts,
+    "date_extract": q_date_extract,
 }
 
 # =====================================================================
@@ -5051,4 +5102,70 @@ ORACLES["mirror_hosts"] = r"""
     join sizes sh on sh.host = p.host_hi
     where floor(p.shared * 1000000.0 / least(sl.n_fp, sh.n_fp))
           >= 500000
+"""
+
+ORACLES["date_extract"] = r"""
+    with syn as (
+      select doc_id, doc_id % 6 as k,
+             printf('%d-%02d-%02d',
+                    2000 + doc_id % 20,
+                    1 + doc_id % 12,
+                    1 + doc_id % 28) as dt
+      from documents
+    ), pages as (
+      select doc_id,
+             case k
+               when 0 then '<head><meta property="article:published_time" content="'
+                           || dt || 'T10:00:00Z"></head><body>also seen '
+                           || dt || '</body>'
+               when 1 then '<body><time datetime="' || dt
+                           || '">then</time></body>'
+               when 2 then '<script type="application/ld+json">{"datePublished" : "'
+                           || dt || 'T00:00:00"}</script>'
+               when 4 then '<body>posted on ' || dt || ' by staff</body>'
+               else '<body>no dates here</body>' end as html,
+             case k
+               when 3 then 'https://ex.com' || printf('/%d/%02d/%02d/post',
+                             2000 + doc_id % 20,
+                             1 + doc_id % 12,
+                             1 + doc_id % 28)
+               else 'https://ex.com/p/1' end as url
+      from syn
+    ), ex as (
+      select doc_id,
+        regexp_extract(html,
+          'article:published_time[^>]*content="((?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))',
+          1) as m1,
+        regexp_extract(html,
+          '<time[^>]*datetime="((?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))',
+          1) as t1,
+        regexp_extract(html,
+          '"datePublished"\s*:\s*"((?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))',
+          1) as j1,
+        regexp_extract(url,
+          '/((?:19|20)\d{2})/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])/',
+          1) as u1,
+        regexp_extract(url,
+          '/((?:19|20)\d{2})/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])/',
+          2) as u2,
+        regexp_extract(url,
+          '/((?:19|20)\d{2})/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])/',
+          3) as u3,
+        regexp_extract(html,
+          '((?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))',
+          1) as x1
+      from pages
+    )
+    select doc_id,
+           case when m1 <> '' then m1
+                when t1 <> '' then t1
+                when j1 <> '' then j1
+                when u1 <> '' then u1 || '-' || u2 || '-' || u3
+                when x1 <> '' then x1 end as pub_date,
+           case when m1 <> '' then 'meta'
+                when t1 <> '' then 'time'
+                when j1 <> '' then 'jsonld'
+                when u1 <> '' then 'url'
+                when x1 <> '' then 'text' end as date_src
+    from ex
 """
