@@ -2339,6 +2339,35 @@ def q_date_extract(spark, sf_dir):
     )
 
 
+def q_unicode_clean(spark, sf_dir):
+    """Unicode webtext normalization (textops.unicode_clean): doc_id%5
+    cycles NBSP/curly-quote/ellipsis taint, dash family, zero-width +
+    soft-hyphen invisibles, C0/DEL control chars, and already-clean
+    ASCII.  Output = md5 of the normalized text + raw/norm code-point
+    lengths; the oracle replays the synthesis (chr() literals) and the
+    exact 5-step chain — drop invisibles, translate typographics,
+    ellipsis->'...', controls->space, collapse+trim."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    k = F.col("doc_id") % 5
+    raw = F.concat(
+        F.format_string("doc %d: ", F.col("doc_id")),
+        F.when(k == 0, F.lit("Hello World’s test… done"))
+        .when(k == 1, F.lit("“quoted” — dash – "
+                            "range ― bar"))
+        .when(k == 2, F.lit("zero​width‌join‍er﻿"
+                            "bom soft­hyphen"))
+        .when(k == 3, F.lit("ctrl\x01chars\x1fhere\x0bvtab\x7fdel"))
+        .otherwise(F.lit("plain ascii already clean")),
+    )
+    norm = textops.normalize_unicode_col(raw)
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(raw).cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2486,6 +2515,7 @@ QUERIES = {
     "mime_sniff": q_mime_sniff,
     "mirror_hosts": q_mirror_hosts,
     "date_extract": q_date_extract,
+    "unicode_clean": q_unicode_clean,
 }
 
 # =====================================================================
@@ -5168,4 +5198,47 @@ ORACLES["date_extract"] = r"""
                 when u1 <> '' then 'url'
                 when x1 <> '' then 'text' end as date_src
     from ex
+"""
+
+ORACLES["unicode_clean"] = r"""
+    with syn as (
+      select doc_id,
+             'doc ' || doc_id || ': ' ||
+             case doc_id % 5
+               when 0 then 'Hello' || chr(160) || 'World' || chr(8217)
+                           || 's test' || chr(8230) || ' done'
+               when 1 then chr(8220) || 'quoted' || chr(8221) || ' '
+                           || chr(8212) || ' dash ' || chr(8211)
+                           || ' range ' || chr(8213) || ' bar'
+               when 2 then 'zero' || chr(8203) || 'width' || chr(8204)
+                           || 'join' || chr(8205) || 'er' || chr(65279)
+                           || 'bom soft' || chr(173) || 'hyphen'
+               when 3 then 'ctrl' || chr(1) || 'chars' || chr(31)
+                           || 'here' || chr(11) || 'vtab' || chr(127)
+                           || 'del'
+               else 'plain ascii already clean' end as raw
+      from documents
+    ), steps as (
+      select doc_id, raw,
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              translate(
+                regexp_replace(raw,
+                  '[' || chr(8203) || chr(8204) || chr(8205)
+                      || chr(65279) || chr(173) || ']', '', 'g'),
+                chr(160) || chr(8239) || chr(12288) || chr(8216)
+                  || chr(8217) || chr(8220) || chr(8221) || chr(8211)
+                  || chr(8212) || chr(8213),
+                '   ''''""---'),
+              chr(8230), '...', 'g'),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'),
+          '\s+', ' ', 'g')) as norm
+      from syn
+    )
+    select doc_id,
+           md5(norm) as norm_md5,
+           cast(length(raw) as bigint) as raw_len,
+           cast(length(norm) as bigint) as norm_len
+    from steps
 """

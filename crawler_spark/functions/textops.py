@@ -2207,3 +2207,54 @@ def robots_meta(
         n_links.cast("long").alias("n_links"),
         n_nof.cast("long").alias("n_nofollow_links"),
     )
+
+
+# ------------------------------------------- unicode normalization
+# 1:1 typographic map (translate: single JVM pass, no regex): NBSP /
+# narrow-NBSP / ideographic space -> space; curly single/double quotes
+# -> ASCII; en/em/horizontal-bar dashes -> hyphen.
+UNICODE_TRANSLATE_SRC = "  　‘’“”–—―"
+UNICODE_TRANSLATE_DST = "   ''\"\"---"
+
+
+def normalize_unicode_col(text: Column) -> Column:
+    """NFKC-lite webtext cleanup as one ordered codegen chain.
+
+    Web-extracted text is full of typographic unicode that fragments
+    tokenizer vocabularies and breaks exact-match dedup ("don't" with
+    U+2019 and "don't" with U+0027 are different fingerprints); every
+    production corpus (C4, Gopher, RefinedWeb) runs a normalization
+    pass like this before dedup and filtering.  The reference stores
+    parser output verbatim.
+
+    Ordered steps (order is load-bearing, see the \\x0B note):
+    1. DROP invisibles: zero-widths U+200B..D, BOM/ZWNBSP U+FEFF,
+       soft hyphen U+00AD — they split tokens while displaying as
+       nothing.
+    2. 1:1 typographic map via ``translate`` (table above).
+    3. U+2026 ellipsis -> "..." (1:N, so regexp not translate).
+    4. Control chars (C0 minus tab/LF/CR, plus DEL) -> space.
+    5. Collapse whitespace runs, trim.  Runs AFTER step 4 so the
+       Java-vs-RE2 ``\\s`` divergence on \\x0B can never matter: by
+       the time ``\\s+`` runs, no \\x0B survives in either engine.
+
+    Scale shape: zero shuffle, zero Python — three regexp_replace +
+    one translate + trim in a single WholeStageCodegen projection.
+    Idempotent: applying twice is a no-op (test-asserted).
+    """
+    t = F.regexp_replace(text, "[​‌‍﻿­]", "")
+    t = F.translate(t, UNICODE_TRANSLATE_SRC, UNICODE_TRANSLATE_DST)
+    t = F.regexp_replace(t, "…", "...")
+    t = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def unicode_clean(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, text)`` with :func:`normalize_unicode_col` applied — the
+    corpus-cleanup stage upstream of fingerprinting and filtering."""
+    return df.select(
+        F.col(id_col),
+        normalize_unicode_col(F.col(text_col)).alias(text_col),
+    )
