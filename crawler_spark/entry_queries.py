@@ -2368,6 +2368,38 @@ def q_unicode_clean(spark, sf_dir):
     )
 
 
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 classification (textops.soft404_detect): doc_id%6
+    cycles a full error page (all three signals), a long page with a
+    buried error phrase, an 'Error' title over clean long text, a
+    short-but-clean stub (score 1 -> NOT convicted), a clean page,
+    and an 'Oops 404' title.  Long bodies are the real corpus text;
+    the oracle replays the synthesis, both regexes, and the
+    whitespace token floor."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    k = F.col("doc_id") % 6
+    title = (
+        F.when(k == 0, F.lit("404 Not Found"))
+        .when(k == 1, F.lit("Fine Article"))
+        .when(k == 2, F.lit("Error"))
+        .when(k == 3, F.lit("Short note"))
+        .when(k == 5, F.lit("Oops 404 page"))
+        .otherwise(F.lit("Nice Page"))
+    )
+    body = (
+        F.when(k == 0, F.lit("the page you requested was not found"
+                             " on this server (page not found)"))
+        .when(k == 1, F.concat(
+            F.col("text"),
+            F.lit(" note: this content is no longer available.")))
+        .when(k == 3, F.lit("just a short stub body here"))
+        .otherwise(F.col("text"))
+    )
+    return textops.soft404_detect(
+        d.select("doc_id", title.alias("title"), body.alias("text"))
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2516,6 +2548,7 @@ QUERIES = {
     "mirror_hosts": q_mirror_hosts,
     "date_extract": q_date_extract,
     "unicode_clean": q_unicode_clean,
+    "soft404_detect": q_soft404_detect,
 }
 
 # =====================================================================
@@ -5241,4 +5274,37 @@ ORACLES["unicode_clean"] = r"""
            cast(length(raw) as bigint) as raw_len,
            cast(length(norm) as bigint) as norm_len
     from steps
+"""
+
+ORACLES["soft404_detect"] = r"""
+    with syn as (
+      select doc_id, doc_id % 6 as k,
+             case doc_id % 6
+               when 0 then '404 Not Found'
+               when 1 then 'Fine Article'
+               when 2 then 'Error'
+               when 3 then 'Short note'
+               when 5 then 'Oops 404 page'
+               else 'Nice Page' end as title,
+             case doc_id % 6
+               when 0 then 'the page you requested was not found on this server (page not found)'
+               when 1 then text || ' note: this content is no longer available.'
+               when 3 then 'just a short stub body here'
+               else text end as body
+      from documents
+    ), sig as (
+      select doc_id,
+        regexp_matches(lower(body),
+          '(page not found|404 not found|error 404|page cannot be found|no longer available|page does not exist|nothing was found)')
+          as phrase_hit,
+        regexp_matches(lower(title), '(404|not found|error)') as title_hit,
+        len(string_split_regex(body, '\s+')) < 30 as short_body
+      from syn
+    )
+    select doc_id, phrase_hit, title_hit, short_body,
+           cast(2 * cast(phrase_hit as int) + 2 * cast(title_hit as int)
+                + cast(short_body as int) as bigint) as score,
+           (2 * cast(phrase_hit as int) + 2 * cast(title_hit as int)
+                + cast(short_body as int)) >= 2 as is_soft404
+    from sig
 """

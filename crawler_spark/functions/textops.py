@@ -2258,3 +2258,58 @@ def unicode_clean(
         F.col(id_col),
         normalize_unicode_col(F.col(text_col)).alias(text_col),
     )
+
+
+# ------------------------------------------------ soft-404 detection
+# Error-page phrases (checked against lowercased body text, substring
+# alternation — plain literals, RE2/Java-identical).
+SOFT404_BODY_RE = (
+    "(page not found|404 not found|error 404"
+    "|page cannot be found|no longer available"
+    "|page does not exist|nothing was found)"
+)
+SOFT404_TITLE_RE = "(404|not found|error)"
+
+
+def soft404_detect(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    title_col: str = "title",
+    text_col: str = "text",
+    short_tokens: int = 30,
+) -> DataFrame:
+    """Soft-404 classification: pages served with HTTP 200 whose
+    CONTENT is an error page — a large, well-documented contaminant of
+    web corpora (dead permalinks behind misconfigured servers return
+    styled "not found" pages with status 200, so status-code filtering
+    misses them entirely; the reference trusts the status code alone,
+    collect.go).  Returns ``(id, phrase_hit, title_hit, short_body,
+    score, is_soft404)``.
+
+    Deterministic weighted vote, no model: an error phrase in the body
+    (+2), an error-ish title (+2), a body under ``short_tokens``
+    whitespace tokens (+1); ``is_soft404`` at score >= 2 — so either
+    strong signal alone convicts, the weak length signal alone never
+    does.  The flags are kept so downstream can re-weight without
+    re-scanning 100 TB.
+
+    Scale shape: ZERO shuffle — two rlike + one split-size + integer
+    arithmetic in a single codegen scan projection.
+    """
+    body_l = F.lower(F.col(text_col))
+    title_l = F.lower(F.col(title_col))
+    phrase = body_l.rlike(SOFT404_BODY_RE)
+    title = title_l.rlike(SOFT404_TITLE_RE)
+    short = token_count_ws(F.col(text_col)) < short_tokens
+    score = (
+        phrase.cast("long") * 2 + title.cast("long") * 2
+        + short.cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        phrase.alias("phrase_hit"),
+        title.alias("title_hit"),
+        short.alias("short_body"),
+        score.alias("score"),
+        (score >= 2).alias("is_soft404"),
+    )
