@@ -2400,6 +2400,42 @@ def q_soft404_detect(spark, sf_dir):
     )
 
 
+def q_site_template(spark, sf_dir):
+    """Per-site template removal (dedup.drop_site_template_lines):
+    10 hosts, 4-5 planted lines per doc — a per-host nav line (every
+    doc of the host -> dropped), a unique line (kept), a 'duo' line
+    shared by exactly 2 docs of one host (kept, under min_docs=3),
+    a 'cross' line shared by 20 docs but only 2 PER HOST (kept —
+    the exact case the corpus-global stage would wrongly drop), and
+    a global share-footer on doc_id%2==0 (~25 docs/host -> dropped).
+    Oracle replays synthesis, the (host,fp) threshold, and ordered
+    reassembly."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = F.format_string("h%d", F.col("doc_id") % 10)
+    g = F.floor(F.col("doc_id") / 20).cast("long")
+    base = F.concat_ws(
+        "\n",
+        F.format_string("nav menu of host %d", F.col("doc_id") % 10),
+        F.format_string("unique content %d", F.col("doc_id")),
+        F.format_string("duo %d %d", g, F.col("doc_id") % 10),
+        F.format_string("cross %d", g),
+    )
+    text = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(base, F.lit("\nshare this page on social media")),
+    ).otherwise(base)
+    out = dedup.drop_site_template_lines(
+        d.select("doc_id", host.alias("host"), text.alias("text")),
+        "doc_id", min_docs=3,
+    )
+    return out.select(
+        "doc_id", "host",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("kept_text").alias("kept_md5"),
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2549,6 +2585,7 @@ QUERIES = {
     "date_extract": q_date_extract,
     "unicode_clean": q_unicode_clean,
     "soft404_detect": q_soft404_detect,
+    "site_template": q_site_template,
 }
 
 # =====================================================================
@@ -5307,4 +5344,38 @@ ORACLES["soft404_detect"] = r"""
            (2 * cast(phrase_hit as int) + 2 * cast(title_hit as int)
                 + cast(short_body as int)) >= 2 as is_soft404
     from sig
+"""
+
+ORACLES["site_template"] = r"""
+    with syn as (
+      select doc_id,
+             printf('h%d', doc_id % 10) as host,
+             printf('nav menu of host %d', doc_id % 10) || chr(10)
+             || printf('unique content %d', doc_id) || chr(10)
+             || printf('duo %d %d', doc_id // 20, doc_id % 10) || chr(10)
+             || printf('cross %d', doc_id // 20)
+             || case when doc_id % 2 = 0
+                     then chr(10) || 'share this page on social media'
+                     else '' end as t
+      from documents
+    ), lines as (
+      select doc_id, host,
+             unnest(string_split(t, chr(10))) as line,
+             unnest(range(1, len(string_split(t, chr(10))) + 1)) as pos
+      from syn
+    ), boiler as (
+      select host, md5(trim(line)) as fp
+      from lines group by 1, 2 having count(distinct doc_id) >= 3
+    ), tagged as (
+      select l.doc_id, l.host, l.pos, l.line, b.fp is not null as is_b
+      from lines l left join boiler b
+        on l.host = b.host and md5(trim(l.line)) = b.fp
+    )
+    select doc_id, host,
+           cast(count(*) as bigint) as n_lines,
+           cast(count(*) filter (where not is_b) as bigint) as n_kept,
+           md5(coalesce(
+             string_agg(line, chr(10) order by pos) filter (where not is_b),
+             '')) as kept_md5
+    from tagged group by doc_id, host
 """

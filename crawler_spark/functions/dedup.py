@@ -764,6 +764,68 @@ def drop_common_lines(df: DataFrame, id_col: str, text_col: str = "text",
     )
 
 
+def drop_site_template_lines(
+    df: DataFrame, id_col: str, host_col: str = "host",
+    text_col: str = "text", min_docs: int = 3, sep: str = "\n",
+) -> DataFrame:
+    """PER-SITE template removal: a line is boilerplate iff its trimmed
+    form appears in >= ``min_docs`` distinct documents OF THE SAME
+    HOST, and is dropped from that host's documents only.
+
+    The host-keyed sibling of :func:`drop_common_lines` (corpus-global
+    threshold) — and the shape production template removal actually
+    uses: site headers/nav/footers repeat within one site, while a
+    corpus-GLOBAL min_docs at web scale convicts legitimately common
+    sentences ("The quick brown fox...", boilerplate disclaimers
+    quoted in articles) that are content, not chrome.  Same output
+    contract ``(id, host, n_lines, n_kept, kept_text)`` so the stages
+    compose with the global and intra-doc stages.
+
+    Scale shape: posexplode is scan-local; the template set is one
+    groupBy on (host, line-fp) with map-side partial distinct; the tag
+    join keys on the SAME (host, fp) pair — hot keys are per-host
+    footers, so rows-per-key is bounded by the host's page count,
+    never corpus-wide (the global stage's universal-footer skew cannot
+    exist here); reassembly is one groupBy on the doc id.  The
+    template set scales with the number of hosts, so it is NOT
+    broadcast by default (unlike the global stage's tiny boiler set) —
+    the join shuffles under AQE.  Everything is built-in SQL — no
+    Python.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(host_col).alias("__host"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__fp", F.md5(F.trim(F.col("__line"))))
+    boiler = (
+        lines.groupBy("__host", "__fp")
+        .agg(F.countDistinct("__doc").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__host", "__fp")
+        .withColumn("__is_b", F.lit(True))
+    )
+    tagged = lines.join(boiler, ["__host", "__fp"], "left")
+    kept_struct = F.when(
+        F.col("__is_b").isNull(), F.struct(F.col("__pos"), F.col("__line"))
+    )
+    return (
+        tagged.groupBy("__doc", "__host")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(kept_struct).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s.getField("__line"),
+                ),
+                sep,
+            ).alias("kept_text"),
+        )
+        .withColumnRenamed("__doc", id_col)
+        .withColumnRenamed("__host", host_col)
+    )
+
+
 def drop_repeated_lines(df: DataFrame, id_col: str, text_col: str = "text",
                         sep: str = "\n") -> DataFrame:
     """Intra-document repeated-line removal: within each document, keep
