@@ -2436,6 +2436,46 @@ def q_site_template(spark, sf_dir):
     )
 
 
+def q_cache_policy(spark, sf_dir):
+    """HTTP caching-policy extraction (snapshots.cache_policy):
+    doc_id%7 cycles max-age+ETag, no-store, no-cache+Last-Modified,
+    a variable max-age of (doc_id%40)*100000 (0..3.9M s — exercises
+    BOTH the min clamp at 60 and the 30-day max clamp), ETag-only
+    (default TTL), s-maxage-beats-max-age, and no caching headers.
+    Oracle replays the header synthesis and every regex + clamp."""
+    from .functions import snapshots
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    k = F.col("doc_id") % 7
+    crlf = "\r\n"
+    hdrs = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf),
+        F.when(k == 0, F.format_string(
+            "Cache-Control: public, max-age=3600%sETag: \"v%d\"",
+            F.lit(crlf), F.col("doc_id")))
+        .when(k == 1, F.lit("Cache-Control: no-store"))
+        .when(k == 2, F.lit(
+            "Cache-Control: no-cache" + crlf +
+            "Last-Modified: Wed, 21 Oct 2015 07:28:00 GMT"))
+        .when(k == 3, F.format_string(
+            "Cache-Control: private, max-age=%d",
+            (F.col("doc_id") % 40) * 100000))
+        .when(k == 4, F.format_string("ETag: \"only%d\"", F.col("doc_id")))
+        .when(k == 5, F.lit("Cache-Control: s-maxage=7200, max-age=600"))
+        .otherwise(F.lit("Content-Type: text/html")),
+        F.lit(crlf + "Server: x" + crlf),
+    )
+    out = snapshots.cache_policy(
+        d.select("doc_id", hdrs.alias("headers"))
+    )
+    # -1 sentinel for "no declared max-age": the driver hash requires a
+    # non-nullable integer dtype (NULL bigint -> float64 in the oracle
+    # frame); the kernel itself keeps NULL semantics.
+    return out.withColumn(
+        "max_age_s", F.coalesce(F.col("max_age_s"), F.lit(-1)).cast("long")
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2586,6 +2626,7 @@ QUERIES = {
     "unicode_clean": q_unicode_clean,
     "soft404_detect": q_soft404_detect,
     "site_template": q_site_template,
+    "cache_policy": q_cache_policy,
 }
 
 # =====================================================================
@@ -5378,4 +5419,55 @@ ORACLES["site_template"] = r"""
              string_agg(line, chr(10) order by pos) filter (where not is_b),
              '')) as kept_md5
     from tagged group by doc_id, host
+"""
+
+ORACLES["cache_policy"] = r"""
+    with syn as (
+      select doc_id,
+             'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+             case doc_id % 7
+               when 0 then 'Cache-Control: public, max-age=3600'
+                           || chr(13) || chr(10)
+                           || 'ETag: "v' || doc_id || '"'
+               when 1 then 'Cache-Control: no-store'
+               when 2 then 'Cache-Control: no-cache' || chr(13) || chr(10)
+                           || 'Last-Modified: Wed, 21 Oct 2015 07:28:00 GMT'
+               when 3 then 'Cache-Control: private, max-age='
+                           || ((doc_id % 40) * 100000)
+               when 4 then 'ETag: "only' || doc_id || '"'
+               when 5 then 'Cache-Control: s-maxage=7200, max-age=600'
+               else 'Content-Type: text/html' end
+             || chr(13) || chr(10) || 'Server: x' || chr(13) || chr(10)
+             as h
+      from documents
+    ), ex as (
+      select doc_id, h,
+        regexp_extract(h, '(?i)cache-control:[^\r\n]*s-maxage=(\d+)', 1)
+          as smax,
+        regexp_extract(h, '(?i)cache-control:[^\r\n]*max-age=(\d+)', 1)
+          as mage,
+        regexp_matches(h, '(?i)cache-control:[^\r\n]*no-store') as no_store,
+        regexp_matches(h, '(?i)cache-control:[^\r\n]*no-cache') as no_cache,
+        regexp_matches(h, '(?i)^etag:|[\r\n]etag:') as has_etag,
+        regexp_matches(h, '(?i)^last-modified:|[\r\n]last-modified:')
+          as has_lm
+      from syn
+    ), pol as (
+      select doc_id, no_store, no_cache, has_etag,
+             (has_etag or has_lm) as has_validator,
+             case when smax <> '' then cast(smax as bigint)
+                  when mage <> '' then cast(mage as bigint) end as max_age_s
+      from ex
+    )
+    select doc_id,
+           cast(coalesce(max_age_s, -1) as bigint) as max_age_s,
+           no_store, no_cache, has_etag, has_validator,
+           cast(case
+             when no_store then 60
+             when no_cache or max_age_s is not null then
+               least(greatest(
+                 case when no_cache then 0 else max_age_s end, 60),
+                 2592000)
+             else 86400 end as bigint) as refetch_after_s
+    from pol
 """

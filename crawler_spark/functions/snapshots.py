@@ -149,3 +149,70 @@ def recrawl_priority(
             (F.lit(now_epoch) - F.col("last_epoch")) * 1_000_000 / interval
         ).cast("long").alias("overdue_micro"),
     )
+
+
+def cache_policy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    headers_col: str = "headers",
+    default_ttl_s: int = 86_400,
+    min_ttl_s: int = 60,
+    max_ttl_s: int = 30 * 86_400,
+) -> DataFrame:
+    """HTTP caching-header policy extraction: what the SERVER says
+    about refetching, as scheduler-ready columns — the header-driven
+    complement of the observed-churn model (:func:`recrawl_priority`
+    infers change rates from snapshots; this reads the declared ones).
+    The reference ignores caching headers entirely (collect.go).
+
+    Parsed from the raw response-header block (as WARC records carry
+    it): ``max_age_s`` (Cache-Control max-age; s-maxage wins when both
+    present, per RFC 9111 shared-cache rules), ``no_store`` /
+    ``no_cache`` flags, ``has_etag`` / ``has_validator`` (ETag or
+    Last-Modified present -> a conditional GET can revalidate for
+    ~free, so the scheduler can probe cheaply even when stale).
+
+    ``refetch_after_s`` is the decision column: no_store -> min_ttl
+    (the server forbids reuse; probe at the politeness floor),
+    declared max-age (no_cache treated as max-age=0) clamped to
+    [min_ttl, max_ttl] (declared 10-year TTLs and max-age=0 both lie
+    at web scale), else ``default_ttl_s`` when the server says
+    nothing.
+
+    Scale shape: ZERO shuffle — case-insensitive regexp extracts and
+    a CASE chain in one codegen scan projection; no date parsing (the
+    Expires fallback needs RFC-1123 dates, whose locale parsing is
+    engine-specific — max-age dominates on the real web and the
+    default TTL covers the rest).
+    """
+    h = F.col(headers_col)
+    smax = F.regexp_extract(h, r"(?i)cache-control:[^\r\n]*s-maxage=(\d+)", 1)
+    mage = F.regexp_extract(h, r"(?i)cache-control:[^\r\n]*max-age=(\d+)", 1)
+    declared = F.when(smax != "", smax.cast("long")).when(
+        mage != "", mage.cast("long")
+    )
+    no_store = h.rlike(r"(?i)cache-control:[^\r\n]*no-store")
+    no_cache = h.rlike(r"(?i)cache-control:[^\r\n]*no-cache")
+    has_etag = h.rlike(r"(?i)^etag:|[\r\n]etag:")
+    has_lm = h.rlike(r"(?i)^last-modified:|[\r\n]last-modified:")
+    clamp = F.least(
+        F.greatest(
+            F.when(no_cache, F.lit(0)).otherwise(declared),
+            F.lit(min_ttl_s),
+        ),
+        F.lit(max_ttl_s),
+    )
+    refetch = (
+        F.when(no_store, F.lit(min_ttl_s))
+        .when(no_cache | declared.isNotNull(), clamp)
+        .otherwise(F.lit(default_ttl_s))
+    )
+    return df.select(
+        F.col(id_col),
+        declared.cast("long").alias("max_age_s"),
+        no_store.alias("no_store"),
+        no_cache.alias("no_cache"),
+        has_etag.alias("has_etag"),
+        (has_etag | has_lm).alias("has_validator"),
+        refetch.cast("long").alias("refetch_after_s"),
+    )

@@ -1,0 +1,79 @@
+"""Unit tests for snapshots.cache_policy — directive extraction,
+s-maxage precedence, clamping, validator detection, and the
+zero-shuffle plan.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crawler_spark.functions import snapshots  # noqa: E402
+
+CRLF = "\r\n"
+
+
+def _policy(spark, headers):
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(headers)],
+        "doc_id long, headers string",
+    )
+    return {r["doc_id"]: r.asDict()
+            for r in snapshots.cache_policy(df).collect()}
+
+
+def test_directives_and_precedence(spark):
+    got = _policy(
+        spark,
+        [
+            "HTTP/1.1 200 OK" + CRLF + "Cache-Control: max-age=3600",
+            "Cache-Control: s-maxage=7200, max-age=600",
+            "Cache-Control: NO-STORE",
+            "Cache-Control: no-cache" + CRLF + 'ETag: "x"',
+            "Content-Type: text/html",
+        ],
+    )
+    assert got[0]["max_age_s"] == 3600 and got[0]["refetch_after_s"] == 3600
+    assert got[1]["max_age_s"] == 7200  # s-maxage wins (RFC 9111)
+    assert got[2]["no_store"] and got[2]["refetch_after_s"] == 60
+    assert got[3]["no_cache"] and got[3]["refetch_after_s"] == 60
+    assert got[3]["has_etag"] and got[3]["has_validator"]
+    assert got[4]["max_age_s"] is None
+    assert got[4]["refetch_after_s"] == 86_400  # server silent -> default
+
+
+def test_clamps(spark):
+    got = _policy(
+        spark,
+        [
+            "Cache-Control: max-age=0",           # lies low -> min 60
+            "Cache-Control: max-age=999999999",   # lies high -> 30 d
+        ],
+    )
+    assert got[0]["refetch_after_s"] == 60
+    assert got[1]["refetch_after_s"] == 30 * 86_400
+
+
+def test_validators_without_cache_control(spark):
+    got = _policy(
+        spark,
+        [
+            "Last-Modified: Wed, 21 Oct 2015 07:28:00 GMT",
+            'etag: W/"weak"',
+        ],
+    )
+    assert got[0]["has_validator"] and not got[0]["has_etag"]
+    assert got[1]["has_etag"]
+    # header names must anchor at line starts: an ETag mention in some
+    # other header's VALUE must not count.
+    got2 = _policy(spark, ["X-Debug: send etag: no" ])
+    assert not got2[0]["has_etag"]
+
+
+def test_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "h")], "doc_id long, headers string")
+    plan = snapshots.cache_policy(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
