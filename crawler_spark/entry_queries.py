@@ -2476,6 +2476,44 @@ def q_cache_policy(spark, sf_dir):
     )
 
 
+def q_hreflang_clusters(spark, sf_dir):
+    """hreflang alternate clustering (hreflang.hreflang_clusters):
+    clusters of 3 language variants (c = doc_id div 3; en/de/fr by
+    doc_id%3), every page carrying the full 3-tag alternate set (the
+    de tag with attributes REVERSED to exercise order-freedom) plus
+    an x-default -> en tag on even clusters.  cluster_id = x-default
+    href (even c) else min href (the de url); keeper = the en member.
+    The oracle replays the synthesis in closed form — any kernel
+    extraction/election bug diverges from it."""
+    from .functions import hreflang
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    c = F.floor(F.col("doc_id") / 3).cast("long")
+    v = F.col("doc_id") % 3
+    lang = (
+        F.when(v == 0, F.lit("en")).when(v == 1, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    u_en = F.format_string("https://ex.com/c%d/en", c)
+    u_de = F.format_string("https://ex.com/c%d/de", c)
+    u_fr = F.format_string("https://ex.com/c%d/fr", c)
+    url = F.format_string("https://ex.com/c%d/", c)
+    url = F.concat(url, lang)
+    html = F.concat(
+        F.lit('<head><link rel="alternate" hreflang="en" href="'),
+        u_en, F.lit('"><link href="'), u_de,
+        F.lit('" hreflang="de" rel="alternate"><link rel="alternate" '
+              'hreflang="fr" href="'), u_fr, F.lit('">'),
+        F.when(c % 2 == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="x-default" href="'),
+            u_en, F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    return hreflang.hreflang_clusters(
+        d.select("doc_id", url.alias("url"), html.alias("html"))
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2627,6 +2665,7 @@ QUERIES = {
     "soft404_detect": q_soft404_detect,
     "site_template": q_site_template,
     "cache_policy": q_cache_policy,
+    "hreflang_clusters": q_hreflang_clusters,
 }
 
 # =====================================================================
@@ -5470,4 +5509,18 @@ ORACLES["cache_policy"] = r"""
                  2592000)
              else 86400 end as bigint) as refetch_after_s
     from pol
+"""
+
+ORACLES["hreflang_clusters"] = r"""
+    with syn as (
+      select doc_id, doc_id // 3 as c, doc_id % 3 as v from documents
+    )
+    select doc_id,
+           case when c % 2 = 0 then printf('https://ex.com/c%d/en', c)
+                else printf('https://ex.com/c%d/de', c) end as cluster_id,
+           case v when 0 then 'en' when 1 then 'de' else 'fr' end
+             as page_lang,
+           cast(case when c % 2 = 0 then 4 else 3 end as bigint) as n_alts,
+           (v = 0) as is_keeper
+    from syn
 """
