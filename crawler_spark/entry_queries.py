@@ -2514,6 +2514,30 @@ def q_hreflang_clusters(spark, sf_dir):
     )
 
 
+def q_table_extract(spark, sf_dir):
+    """HTML table mining (textops.table_extract): doc_id%3 cycles a
+    3-row table (th header, a nested-<b> cell, an empty cell), TWO
+    tables separated by non-table markup, and no table (no output
+    rows).  The oracle enumerates the expected linearized rows in
+    closed form — indices, header flags, de-tagging, trims, and the
+    empty-cell join all have to match."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    k = F.col("doc_id") % 3
+    html = (
+        F.when(k == 0, F.format_string(
+            '<p>x</p><table class="t"><tr><th>Name</th><th> Val </th>'
+            "</tr><tr><td>a%d</td><td><b>bold%d</b> text</td></tr>"
+            "<tr><td>c %d</td><td></td></tr></table>",
+            F.col("doc_id"), F.col("doc_id"), F.col("doc_id")))
+        .when(k == 1, F.format_string(
+            "<table><tr><td>t0 %d</td><td>x</td></tr></table>"
+            "<span>gap</span><table><tr><td>t1 %d</td></tr></table>",
+            F.col("doc_id"), F.col("doc_id")))
+        .otherwise(F.lit("<p>tableless page</p>"))
+    )
+    return textops.table_extract(d.select("doc_id", html.alias("html")))
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2666,6 +2690,7 @@ QUERIES = {
     "site_template": q_site_template,
     "cache_policy": q_cache_policy,
     "hreflang_clusters": q_hreflang_clusters,
+    "table_extract": q_table_extract,
 }
 
 # =====================================================================
@@ -5523,4 +5548,33 @@ ORACLES["hreflang_clusters"] = r"""
            cast(case when c % 2 = 0 then 4 else 3 end as bigint) as n_alts,
            (v = 0) as is_keeper
     from syn
+"""
+
+ORACLES["table_extract"] = r"""
+    with base as (
+      select doc_id, doc_id % 3 as k from documents
+    ), r as (
+      select doc_id, 0 as table_idx, 0 as row_idx, 2 as n_cells,
+             true as is_header, 'Name | Val' as row_text
+      from base where k = 0
+      union all
+      select doc_id, 0, 1, 2, false,
+             'a' || doc_id || ' | bold' || doc_id || ' text'
+      from base where k = 0
+      union all
+      select doc_id, 0, 2, 2, false, 'c ' || doc_id || ' | '
+      from base where k = 0
+      union all
+      select doc_id, 0, 0, 2, false, 't0 ' || doc_id || ' | x'
+      from base where k = 1
+      union all
+      select doc_id, 1, 0, 1, false, 't1 ' || cast(doc_id as varchar)
+      from base where k = 1
+    )
+    select doc_id,
+           cast(table_idx as bigint) as table_idx,
+           cast(row_idx as bigint) as row_idx,
+           cast(n_cells as bigint) as n_cells,
+           is_header, row_text
+    from r
 """

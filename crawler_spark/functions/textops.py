@@ -2313,3 +2313,61 @@ def soft404_detect(
         score.alias("score"),
         (score >= 2).alias("is_soft404"),
     )
+
+
+# ------------------------------------------------ HTML table mining
+TABLE_RE = r"(?is)<table[^>]*>.*?</table>"
+TR_RE = r"(?is)<tr[^>]*>.*?</tr>"
+CELL_RE = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def table_extract(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html",
+) -> DataFrame:
+    """HTML tables -> structured rows: ``(id, table_idx, row_idx,
+    n_cells, is_header, row_text)`` with cells joined by ``" | "``.
+
+    Tables are among the highest-value structures in webtext (table-QA
+    and reasoning corpora linearize them exactly like this), and
+    text-extraction pipelines that strip tags flatten them into word
+    soup — the row/cell structure must be mined BEFORE the generic
+    html_to_text pass destroys it.  The reference's parser only runs
+    field regexes (rule.go) and has no table awareness.
+
+    is_header: the row's cells came from ``<th>`` (all-or-any: a row
+    with at least one <th> is a header row, matching how real-world
+    markup uses them).  Cell text is de-tagged (nested <b>/<a> etc.)
+    and whitespace-normalized.
+
+    Scale shape: two scan-local posexplodes (tables per doc, rows per
+    table — output scales with table content, not corpus width) and
+    per-row transform HOFs; ZERO shuffle, zero Python (all regex
+    codegen).  Docs with no tables produce no rows.
+    """
+    tables = F.regexp_extract_all(F.col(html_col), F.lit(TABLE_RE), F.lit(0))
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(tables).alias("table_idx", "__tbl"),
+    )
+    r = t.select(
+        F.col(id_col),
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("__tbl"), F.lit(TR_RE), F.lit(0))
+        ).alias("row_idx", "__row"),
+    )
+    cells = F.regexp_extract_all(F.col("__row"), F.lit(CELL_RE), F.lit(1))
+    clean = F.transform(
+        cells,
+        lambda c: F.trim(
+            F.regexp_replace(F.regexp_replace(c, r"<[^>]+>", " "), r"\s+", " ")
+        ),
+    )
+    return r.select(
+        F.col(id_col),
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.size(cells).cast("long").alias("n_cells"),
+        F.col("__row").rlike("(?is)<th[^>]*>").alias("is_header"),
+        F.array_join(clean, " | ").alias("row_text"),
+    )
