@@ -2538,6 +2538,37 @@ def q_table_extract(spark, sf_dir):
     return textops.table_extract(d.select("doc_id", html.alias("html")))
 
 
+def q_schema_types(spark, sf_dir):
+    """Structured-data content typing (textops.schema_types): doc_id%8
+    cycles JSON-LD NewsArticle/Recipe/FAQPage, Product WITH a
+    conflicting og:type (schema wins), og-only article and
+    video.other, an unknown JSON-LD type (WebPage -> null schema_type,
+    og fallback), and an unlabeled page.  Oracle is the closed form
+    of the routing table."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    k = F.col("doc_id") % 8
+    ld = (
+        F.when(k == 0, F.lit('{"@type": "NewsArticle"}'))
+        .when(k == 1, F.lit('{"@type":"Recipe"}'))
+        .when(k == 2, F.lit('{ "@type" : "FAQPage" }'))
+        .when(k == 3, F.lit('{"@type": "Product"}'))
+        .when(k == 6, F.lit('{"@type": "WebPage"}'))
+        .otherwise(F.lit("{}"))
+    )
+    og = (
+        F.when(k == 3, F.lit('<meta property="og:type" content="website">'))
+        .when(k == 4, F.lit('<meta property="og:type" content="Article">'))
+        .when(k == 5, F.lit('<meta property="og:type" content="video.other">'))
+        .when(k == 6, F.lit('<meta property="og:type" content="website">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<head><script type="application/ld+json">'), ld,
+        F.lit("</script>"), og, F.lit("</head><body>b</body>"),
+    )
+    return textops.schema_types(d.select("doc_id", html.alias("html")))
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2691,6 +2722,7 @@ QUERIES = {
     "cache_policy": q_cache_policy,
     "hreflang_clusters": q_hreflang_clusters,
     "table_extract": q_table_extract,
+    "schema_types": q_schema_types,
 }
 
 # =====================================================================
@@ -5577,4 +5609,21 @@ ORACLES["table_extract"] = r"""
            cast(n_cells as bigint) as n_cells,
            is_header, row_text
     from r
+"""
+
+ORACLES["schema_types"] = r"""
+    with base as (select doc_id, doc_id % 8 as k from documents)
+    select doc_id,
+           case k when 0 then 'NewsArticle' when 1 then 'Recipe'
+                  when 2 then 'FAQPage' when 3 then 'Product' end
+             as schema_type,
+           case k when 3 then 'website' when 4 then 'article'
+                  when 5 then 'video.other' when 6 then 'website' end
+             as og_type,
+           case k when 0 then 'article' when 1 then 'instruction'
+                  when 2 then 'qa' when 3 then 'commerce'
+                  when 4 then 'article' when 5 then 'media'
+                  when 6 then 'other' else 'unlabeled' end
+             as content_class
+    from base
 """

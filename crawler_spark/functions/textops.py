@@ -2371,3 +2371,71 @@ def table_extract(
         F.col("__row").rlike("(?is)<th[^>]*>").alias("is_header"),
         F.array_join(clean, " | ").alias("row_text"),
     )
+
+
+# ------------------------------------------- structured-data typing
+# schema.org types a corpus router cares about, canonical casing.
+SCHEMA_TYPES = (
+    "Article", "NewsArticle", "BlogPosting", "Product", "Recipe",
+    "QAPage", "FAQPage", "HowTo", "Review", "Event", "JobPosting",
+    "Dataset", "VideoObject", "SoftwareApplication",
+)
+
+
+def schema_types(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html",
+) -> DataFrame:
+    """Structured-data content typing: ``(id, schema_type, og_type,
+    content_class)`` from JSON-LD ``@type`` and OpenGraph ``og:type``.
+
+    Publishers self-label pages with machine-readable types (JSON-LD
+    per schema.org, og:type per OpenGraph); a training-data pipeline
+    routes on them — recipes/how-tos/QA pages into instruction-ish
+    subsets, product/job/event boilerplate down-weighted, news vs blog
+    provenance kept — far more cheaply and precisely than a text
+    classifier.  The reference parses only its own hand-written field
+    regexes.
+
+    schema_type: first JSON-LD ``"@type": "X"`` whose X is in the
+    curated ``SCHEMA_TYPES`` list (unknown types -> null, so the
+    column is an enum a router can trust).  og_type: the raw
+    ``<meta property="og:type" content>``, lowercased.
+    content_class: the routing decision — schema_type's class when
+    labeled (article/commerce/instruction/qa/media/other buckets),
+    else og_type-derived, else 'unlabeled'.
+
+    Scale shape: ZERO shuffle — two regexp extracts + CASE chains in
+    one codegen scan projection.
+    """
+    h = F.col(html_col)
+    alts = "|".join(SCHEMA_TYPES)
+    st = F.regexp_extract(
+        h, r'"@type"\s*:\s*"(' + alts + r')"', 1
+    )
+    st = F.when(st != "", st)
+    og = F.lower(F.regexp_extract(
+        h, r'(?i)<meta[^>]*property="og:type"[^>]*content="([^"]*)"', 1
+    ))
+    og = F.when(og != "", og)
+    instruction = st.isin("Recipe", "HowTo")
+    qa = st.isin("QAPage", "FAQPage")
+    article = st.isin("Article", "NewsArticle", "BlogPosting", "Review")
+    commerce = st.isin("Product", "Event", "JobPosting")
+    media = st.isin("VideoObject", "SoftwareApplication", "Dataset")
+    cls = (
+        F.when(article, "article")
+        .when(instruction, "instruction")
+        .when(qa, "qa")
+        .when(commerce, "commerce")
+        .when(media, "media")
+        .when(og.isNotNull() & (og == "article"), "article")
+        .when(og.isNotNull() & (og == "video.other"), "media")
+        .when(og.isNotNull(), "other")
+        .otherwise("unlabeled")
+    )
+    return df.select(
+        F.col(id_col),
+        st.alias("schema_type"),
+        og.alias("og_type"),
+        cls.alias("content_class"),
+    )
