@@ -2569,6 +2569,40 @@ def q_schema_types(spark, sf_dir):
     return textops.schema_types(d.select("doc_id", html.alias("html")))
 
 
+def q_bitext_pairs(spark, sf_dir):
+    """Page-aligned bitext mining (hreflang.bitext_pairs) over the
+    same synthesis as q_hreflang_clusters: every de/fr page pairs
+    with its cluster's en pivot -> 2 pairs per full cluster, 1 for
+    the trailing partial cluster.  Oracle closed form: docs with
+    doc_id%3 in (1,2) pair with doc_id - doc_id%3."""
+    from .functions import hreflang
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    c = F.floor(F.col("doc_id") / 3).cast("long")
+    v = F.col("doc_id") % 3
+    lang = (
+        F.when(v == 0, F.lit("en")).when(v == 1, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    u_en = F.format_string("https://ex.com/c%d/en", c)
+    u_de = F.format_string("https://ex.com/c%d/de", c)
+    u_fr = F.format_string("https://ex.com/c%d/fr", c)
+    url = F.concat(F.format_string("https://ex.com/c%d/", c), lang)
+    html = F.concat(
+        F.lit('<head><link rel="alternate" hreflang="en" href="'),
+        u_en, F.lit('"><link href="'), u_de,
+        F.lit('" hreflang="de" rel="alternate"><link rel="alternate" '
+              'hreflang="fr" href="'), u_fr, F.lit('">'),
+        F.when(c % 2 == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="x-default" href="'),
+            u_en, F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    return hreflang.bitext_pairs(
+        d.select("doc_id", url.alias("url"), html.alias("html"))
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2723,6 +2757,7 @@ QUERIES = {
     "hreflang_clusters": q_hreflang_clusters,
     "table_extract": q_table_extract,
     "schema_types": q_schema_types,
+    "bitext_pairs": q_bitext_pairs,
 }
 
 # =====================================================================
@@ -5626,4 +5661,16 @@ ORACLES["schema_types"] = r"""
                   when 6 then 'other' else 'unlabeled' end
              as content_class
     from base
+"""
+
+ORACLES["bitext_pairs"] = r"""
+    select doc_id - (doc_id % 3) as id_pivot,
+           doc_id as id_other,
+           case when (doc_id // 3) % 2 = 0
+                then printf('https://ex.com/c%d/en', doc_id // 3)
+                else printf('https://ex.com/c%d/de', doc_id // 3) end
+             as cluster_id,
+           case doc_id % 3 when 1 then 'de' else 'fr' end as lang_other
+    from documents
+    where doc_id % 3 in (1, 2)
 """

@@ -86,3 +86,45 @@ def hreflang_clusters(
             .alias("is_keeper"),
         )
     )
+
+
+def bitext_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    pivot_lang: str = "en",
+) -> DataFrame:
+    """Page-aligned bitext mining: ``(id_pivot, id_other, cluster_id,
+    lang_other)`` — one row per (pivot-language page, other-language
+    page) pair inside an hreflang cluster.
+
+    The flip side of :func:`hreflang_clusters`' dedup use: the same
+    alternate sets that make multilingual variants a contamination
+    risk are free PAGE-ALIGNED translation pairs — the standard seed
+    for parallel-corpus mining (WikiMatrix/CCMatrix start from far
+    weaker document alignment than a publisher's own declaration).
+
+    Scale shape: cluster ids are scan-local (see hreflang_clusters);
+    the pair join is a self-join keyed by cluster_id whose fan-out is
+    (languages-per-page - 1) per pivot page — bounded by the markup,
+    never quadratic in the corpus.  One shuffle per side, both keyed
+    by cluster_id.
+    """
+    pages = hreflang_clusters(
+        df, id_col=id_col, url_col=url_col, html_col=html_col,
+        keep_lang=pivot_lang,
+    ).select(id_col, "cluster_id", "page_lang")
+    pivots = pages.where(F.col("page_lang") == pivot_lang).select(
+        F.col(id_col).alias("id_pivot"), "cluster_id"
+    )
+    others = pages.where(
+        F.col("page_lang").isNotNull()
+        & (F.col("page_lang") != pivot_lang)
+    ).select(
+        F.col(id_col).alias("id_other"), "cluster_id",
+        F.col("page_lang").alias("lang_other"),
+    )
+    return pivots.join(others, "cluster_id").select(
+        "id_pivot", "id_other", "cluster_id", "lang_other"
+    )

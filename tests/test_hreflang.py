@@ -69,3 +69,27 @@ def test_single_cluster_keyed_shuffle(spark):
     import re
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert all("cluster_id" in l for l in exchanges), plan
+
+
+def test_bitext_pairs(spark):
+    en, de, fr = ("https://s.io/p/en", "https://s.io/p/de",
+                  "https://s.io/p/fr")
+    html = _tag("en", en) + _tag("de", de) + _tag("fr", fr)
+    rows = [(1, en, html), (2, de, html), (3, fr, html),
+            (4, "https://s.io/solo", "<p>none</p>")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    out = hreflang.bitext_pairs(df)
+    got = {(r["id_pivot"], r["id_other"]): r["lang_other"]
+           for r in out.collect()}
+    # en pivot pairs with de and fr; the solo page pairs with nothing
+    assert got == {(1, 2): "de", (1, 3): "fr"}
+
+
+def test_bitext_pairs_no_pivot_cluster_emits_nothing(spark):
+    de, fr = "https://s.io/q/de", "https://s.io/q/fr"
+    html = _tag("de", de) + _tag("fr", fr)
+    df = spark.createDataFrame(
+        [(1, de, html), (2, fr, html)],
+        "doc_id long, url string, html string",
+    )
+    assert hreflang.bitext_pairs(df).count() == 0
