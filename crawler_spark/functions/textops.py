@@ -2343,6 +2343,13 @@ def table_extract(
     table — output scales with table content, not corpus width) and
     per-row transform HOFs; ZERO shuffle, zero Python (all regex
     codegen).  Docs with no tables produce no rows.
+
+    Known regex-level limit: a NESTED <table> truncates its outer
+    table at the inner ``</table>`` (lazy match) — the inner table's
+    cells still extract, so content is kept, but layout-table nesting
+    (a 1990s idiom) yields one merged table.  Acceptable for corpus
+    mining; a full HTML parser is the swap-in if row fidelity on
+    nested layouts ever matters.
     """
     tables = F.regexp_extract_all(F.col(html_col), F.lit(TABLE_RE), F.lit(0))
     t = df.select(
