@@ -2603,6 +2603,27 @@ def q_bitext_pairs(spark, sf_dir):
     )
 
 
+def q_refetch_schedule(spark, sf_dir):
+    """Adaptive revisit scheduling (snapshots.refetch_schedule):
+    prev interval 3600*(1+doc_id%4), changed on doc_id%3==0, declared
+    max-age 7200*(doc_id%5) on even ids (0 exercises the min clamp of
+    the declared floor), no_store on doc_id%7==0.  Halve-on-change /
+    double-on-static, clamps, and the declared-freshness floor all
+    replayed in the oracle."""
+    from .functions import snapshots
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    inp = d.select(
+        "doc_id",
+        (F.lit(3600) * (1 + F.col("doc_id") % 4)).alias("prev_interval_s"),
+        (F.col("doc_id") % 3 == 0).alias("changed"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit(7200) * (F.col("doc_id") % 5)).alias("max_age_s"),
+        (F.col("doc_id") % 7 == 0).alias("no_store"),
+    )
+    return snapshots.refetch_schedule(inp)
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2758,6 +2779,7 @@ QUERIES = {
     "table_extract": q_table_extract,
     "schema_types": q_schema_types,
     "bitext_pairs": q_bitext_pairs,
+    "refetch_schedule": q_refetch_schedule,
 }
 
 # =====================================================================
@@ -5673,4 +5695,32 @@ ORACLES["bitext_pairs"] = r"""
            case doc_id % 3 when 1 then 'de' else 'fr' end as lang_other
     from documents
     where doc_id % 3 in (1, 2)
+"""
+
+ORACLES["refetch_schedule"] = r"""
+    with inp as (
+      select doc_id,
+             3600 * (1 + doc_id % 4) as prev_interval_s,
+             (doc_id % 3 = 0) as changed,
+             case when doc_id % 2 = 0 then 7200 * (doc_id % 5) end
+               as max_age_s,
+             (doc_id % 7 = 0) as no_store
+      from documents
+    ), calc as (
+      select doc_id,
+             least(greatest(
+               case when changed then prev_interval_s // 2
+                    else prev_interval_s * 2 end, 60), 2592000)
+               as adaptive,
+             case when (not no_store) and max_age_s is not null
+                  then least(greatest(max_age_s, 60), 2592000)
+                  else 60 end as declared
+      from inp
+    )
+    select doc_id,
+           cast(greatest(adaptive, declared) as bigint)
+             as next_interval_s,
+           case when declared > adaptive then 'declared'
+                else 'adaptive' end as source
+    from calc
 """

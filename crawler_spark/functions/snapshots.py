@@ -216,3 +216,55 @@ def cache_policy(
         (has_etag | has_lm).alias("has_validator"),
         refetch.cast("long").alias("refetch_after_s"),
     )
+
+
+def refetch_schedule(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    prev_interval_col: str = "prev_interval_s",
+    changed_col: str = "changed",
+    max_age_col: str = "max_age_s",
+    no_store_col: str = "no_store",
+    min_ttl_s: int = 60,
+    max_ttl_s: int = 30 * 86_400,
+) -> DataFrame:
+    """Adaptive revisit scheduling: ``(id, next_interval_s, source)``.
+
+    The classic multiplicative policy (Cho & Garcia-Molina's adaptive
+    revisiting, used by every production crawler since): HALVE the
+    revisit interval when the last fetch found the page changed,
+    DOUBLE it when unchanged, clamped to [min_ttl, max_ttl] — then
+    floor the result by the freshness the server itself declared
+    (:func:`cache_policy`'s max-age): probing inside the declared
+    freshness lifetime is wasted politeness budget, because a
+    compliant cache would not even forward the request.  ``no_store``
+    declares nothing about change rate, so it contributes no floor.
+
+    ``source`` says which bound won ('adaptive' or 'declared') so the
+    scheduler's behavior is auditable per URL.
+
+    Scale shape: ZERO shuffle — integer halve/double, two clamps and
+    a greatest() in one codegen scan projection; composes upstream of
+    the frontier priority the same way recrawl_priority does.
+    """
+    prev = F.col(prev_interval_col)
+    adaptive = F.least(
+        F.greatest(
+            F.when(F.col(changed_col), (prev / 2).cast("long"))
+            .otherwise(prev * 2),
+            F.lit(min_ttl_s),
+        ),
+        F.lit(max_ttl_s),
+    )
+    declared = F.when(
+        ~F.col(no_store_col) & F.col(max_age_col).isNotNull(),
+        F.least(F.greatest(F.col(max_age_col), F.lit(min_ttl_s)),
+                F.lit(max_ttl_s)),
+    ).otherwise(F.lit(min_ttl_s))
+    nxt = F.greatest(adaptive, declared)
+    return df.select(
+        F.col(id_col),
+        nxt.cast("long").alias("next_interval_s"),
+        F.when(declared > adaptive, F.lit("declared"))
+        .otherwise(F.lit("adaptive")).alias("source"),
+    )

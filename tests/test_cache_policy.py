@@ -77,3 +77,31 @@ def test_zero_shuffle_plan(spark):
     plan = snapshots.cache_policy(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_refetch_schedule_policy(spark):
+    rows = [
+        # (id, prev, changed, max_age, no_store)
+        (0, 3600, True, None, False),    # halve -> 1800
+        (1, 3600, False, None, False),   # double -> 7200
+        (2, 100, True, None, False),     # halve floors at min 60
+        (3, 20 * 86400, False, None, False),  # double clamps at 30 d
+        (4, 3600, True, 86400, False),   # declared 1 d beats 1800
+        (5, 3600, False, 600, False),    # adaptive 7200 beats declared
+        (6, 3600, True, 86400, True),    # no_store voids the floor
+    ]
+    from crawler_spark.functions import snapshots as snaps
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, prev_interval_s long, changed boolean, "
+        "max_age_s long, no_store boolean",
+    )
+    got = {r["doc_id"]: (r["next_interval_s"], r["source"])
+           for r in snaps.refetch_schedule(df).collect()}
+    assert got[0] == (1800, "adaptive")
+    assert got[1] == (7200, "adaptive")
+    assert got[2] == (60, "adaptive")
+    assert got[3] == (30 * 86400, "adaptive")
+    assert got[4] == (86400, "declared")
+    assert got[5] == (7200, "adaptive")
+    assert got[6] == (1800, "adaptive")
