@@ -69,3 +69,38 @@ def test_zero_shuffle_plan(spark):
     plan = textops.unicode_clean(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def _py_reference(s):
+    """Independent third-engine reference (Python re with ASCII \\s,
+    matching Java/RE2 semantics after the control sweep)."""
+    import re
+    s = re.sub("[​‌‍﻿­]", "", s)
+    s = s.translate(str.maketrans(
+        "  　‘’“”–—―",
+        "   ''\"\"---"))
+    s = s.replace("…", "...")
+    s = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ", s)
+    return re.sub(r"\s+", " ", s, flags=re.ASCII).strip()
+
+
+def test_randomized_parity_with_python_reference(spark):
+    # 300 seeded-random strings over ASCII + every mapped special +
+    # arbitrary BMP letters: Spark output must equal the independent
+    # Python implementation AND be idempotent.
+    import random
+    rng = random.Random(20260819)
+    specials = ("​‌‍﻿­  　"
+                "‘’“”–—―…"
+                "\x01\x0b\x7f\t\n")
+    pool = ("abc XYZ 123 .,!?" + specials
+            + "é中文नमсло")
+    texts = [
+        "".join(rng.choice(pool) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    got = _clean(spark, texts)
+    for raw, out in zip(texts, got):
+        assert out == _py_reference(raw), repr(raw)
+    got2 = _clean(spark, got)
+    assert got2 == got
