@@ -9,7 +9,8 @@ reference switching to this repo runs after the crawl.
 Funnel (every stage is a verified contract operator; counts for each
 stage land in <out>/stats.json):
 
-    encoding gate (mojibake)  ->  badwords page gate
+    encoding gate (mojibake)  ->  unicode normalization
+      ->  soft-404 gate  ->  badwords page gate
       ->  C4-style quality keep  ->  Gopher document rules
       ->  exact dedup  ->  MinHash+LSH near-dup clusters (keep lowest)
       ->  token-budget selection (best-quality-first, no global sort)
@@ -45,6 +46,19 @@ def build(spark, docs, budget_tokens: int, n_shards: int,
     moji = textops.mojibake_stats(docs).where(~F.col("is_mojibake"))
     docs = docs.join(moji.select("doc_id"), "doc_id", "left_semi")
     counts["encoding_gate"] = docs.count()
+
+    # normalize AFTER the encoding gate (mojibake wants raw text) and
+    # BEFORE anything fingerprint-based: typographic variants must not
+    # fragment dedup fingerprints or token counts downstream.
+    docs = docs.withColumn(
+        "text", textops.normalize_unicode_col(F.col("text"))
+    )
+
+    s404 = textops.soft404_detect(
+        docs.withColumn("__title", F.lit("")), title_col="__title"
+    ).where(~F.col("is_soft404"))
+    docs = docs.join(s404.select("doc_id"), "doc_id", "left_semi")
+    counts["soft404_gate"] = docs.count()
 
     bad = textops.badwords_stats(docs).where(~F.col("is_flagged"))
     docs = docs.join(bad.select("doc_id"), "doc_id", "left_semi")

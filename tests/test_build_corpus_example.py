@@ -24,9 +24,9 @@ def test_build_corpus_funnel(spark):
         spark, docs, budget_tokens=2000, n_shards=4
     )
     # funnel is monotone non-increasing and ends non-empty
-    order = ["input", "encoding_gate", "badwords_gate", "quality_gate",
-             "gopher_gate", "exact_dedup", "near_dedup", "token_budget",
-             "output"]
+    order = ["input", "encoding_gate", "soft404_gate", "badwords_gate",
+             "quality_gate", "gopher_gate", "exact_dedup", "near_dedup",
+             "token_budget", "output"]
     vals = [counts[k] for k in order]
     assert vals == sorted(vals, reverse=True)
     assert counts["input"] == 500 and counts["output"] > 0
