@@ -2290,23 +2290,32 @@ def q_mirror_hosts(spark, sf_dir):
 
 
 def q_date_extract(spark, sf_dir):
-    """Publication-date extraction (dates.date_extract): doc_id%6
-    cycles the five sources — OG meta (with a T10:00:00Z timestamp to
+    """Publication-date extraction (dates.date_extract): doc_id%7
+    cycles the six sources — OG meta (with a T10:00:00Z timestamp to
     check truncation AND a decoy bare date in the body to check
     priority), <time datetime>, JSON-LD (spaces around the colon),
-    /YYYY/MM/DD/ permalink URL, bare body date — and a no-date case
-    for the null path.  Dates are calendar-plausible by construction
-    (y 2000-2019, m 1-12, d 1-28); the oracle replays the synthesis
-    and the exact regex chain."""
+    /YYYY/MM/DD/ permalink URL, bare body date, US-prose
+    'Month D, YYYY' (checks the month-name map + day lpad) — and a
+    no-date case for the null path.  Dates are calendar-plausible by
+    construction (y 2000-2019, m 1-12, d 1-28); the oracle replays
+    the synthesis and the regex chain (closed form for the US case,
+    whose components equal dt by construction)."""
     from .functions import dates
 
     d = _docs(spark, sf_dir).select("doc_id")
-    k = F.col("doc_id") % 6
+    k = F.col("doc_id") % 7
     dt = F.format_string(
         "%d-%02d-%02d",
         F.lit(2000) + F.col("doc_id") % 20,
         F.lit(1) + F.col("doc_id") % 12,
         F.lit(1) + F.col("doc_id") % 28,
+    )
+    month_name = F.element_at(
+        F.array(*[F.lit(m) for m in
+                  ("January", "February", "March", "April", "May",
+                   "June", "July", "August", "September", "October",
+                   "November", "December")]),
+        (F.col("doc_id") % 12 + 1).cast("int"),
     )
     html = (
         F.when(k == 0, F.concat(
@@ -2323,6 +2332,12 @@ def q_date_extract(spark, sf_dir):
             F.lit('T00:00:00"}</script>')))
         .when(k == 4, F.concat(
             F.lit("<body>posted on "), dt, F.lit(" by staff</body>")))
+        .when(k == 5, F.concat(
+            F.lit("<body>Published "), month_name,
+            F.format_string(" %d, %d",
+                            F.lit(1) + F.col("doc_id") % 28,
+                            F.lit(2000) + F.col("doc_id") % 20),
+            F.lit(" by staff</body>")))
         .otherwise(F.lit("<body>no dates here</body>"))
     )
     url = F.when(k == 3, F.concat(
@@ -5400,14 +5415,21 @@ ORACLES["mirror_hosts"] = r"""
 
 ORACLES["date_extract"] = r"""
     with syn as (
-      select doc_id, doc_id % 6 as k,
+      select doc_id, doc_id % 7 as k,
              printf('%d-%02d-%02d',
                     2000 + doc_id % 20,
                     1 + doc_id % 12,
-                    1 + doc_id % 28) as dt
+                    1 + doc_id % 28) as dt,
+             case 1 + doc_id % 12
+               when 1 then 'January' when 2 then 'February'
+               when 3 then 'March' when 4 then 'April'
+               when 5 then 'May' when 6 then 'June'
+               when 7 then 'July' when 8 then 'August'
+               when 9 then 'September' when 10 then 'October'
+               when 11 then 'November' else 'December' end as mname
       from documents
     ), pages as (
-      select doc_id,
+      select doc_id, k, dt,
              case k
                when 0 then '<head><meta property="article:published_time" content="'
                            || dt || 'T10:00:00Z"></head><body>also seen '
@@ -5417,6 +5439,9 @@ ORACLES["date_extract"] = r"""
                when 2 then '<script type="application/ld+json">{"datePublished" : "'
                            || dt || 'T00:00:00"}</script>'
                when 4 then '<body>posted on ' || dt || ' by staff</body>'
+               when 5 then '<body>Published ' || mname || ' '
+                           || (1 + doc_id % 28) || ', '
+                           || (2000 + doc_id % 20) || ' by staff</body>'
                else '<body>no dates here</body>' end as html,
              case k
                when 3 then 'https://ex.com' || printf('/%d/%02d/%02d/post',
@@ -5426,7 +5451,7 @@ ORACLES["date_extract"] = r"""
                else 'https://ex.com/p/1' end as url
       from syn
     ), ex as (
-      select doc_id,
+      select doc_id, k, dt,
         regexp_extract(html,
           'article:published_time[^>]*content="((?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))',
           1) as m1,
@@ -5455,12 +5480,14 @@ ORACLES["date_extract"] = r"""
                 when t1 <> '' then t1
                 when j1 <> '' then j1
                 when u1 <> '' then u1 || '-' || u2 || '-' || u3
-                when x1 <> '' then x1 end as pub_date,
+                when x1 <> '' then x1
+                when k = 5 then dt end as pub_date,
            case when m1 <> '' then 'meta'
                 when t1 <> '' then 'time'
                 when j1 <> '' then 'jsonld'
                 when u1 <> '' then 'url'
-                when x1 <> '' then 'text' end as date_src
+                when x1 <> '' then 'text'
+                when k = 5 then 'text_us' end as date_src
     from ex
 """
 

@@ -42,7 +42,15 @@ DATE_PATTERNS = (
     ("url", "url",
      r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])/"),
     ("text", "html", ISO),
+    ("text_us", "html",
+     r"(?i)(January|February|March|April|May|June|July|August"
+     r"|September|October|November|December)\s+(\d{1,2}),\s+"
+     r"((?:19|20)\d{2})"),
 )
+
+MONTHS = ("january", "february", "march", "april", "may", "june",
+          "july", "august", "september", "october", "november",
+          "december")
 
 
 def date_extract(
@@ -53,7 +61,9 @@ def date_extract(
 ) -> DataFrame:
     """``(id, pub_date, date_src)`` — first match in priority order,
     nulls when no source fires.  ``date_src`` in {meta, time, jsonld,
-    url, text}."""
+    url, text, text_us} — text_us is US-prose "May 5, 2019" (huge on
+    US blogs/news), lowest priority and day-validated 1-31 via the
+    month-name map + lpad normalization to ISO."""
     cols = {"html": F.col(html_col), "url": F.col(url_col)}
     expr_date, expr_src = None, None
     for label, col_key, pat in DATE_PATTERNS:
@@ -67,6 +77,23 @@ def date_extract(
             )
             cand = F.when(F.regexp_extract(src, pat, 1) != "", cand
                           ).otherwise(F.lit(""))
+        elif label == "text_us":
+            mname = F.lower(F.regexp_extract(src, pat, 1))
+            mnum = None
+            for i, m in enumerate(MONTHS):
+                c = F.when(mname == m, F.lit("%02d" % (i + 1)))
+                mnum = c if mnum is None else mnum.when(
+                    mname == m, F.lit("%02d" % (i + 1)))
+            day = F.regexp_extract(src, pat, 2).cast("int")
+            cand = F.when(
+                (mname != "") & day.between(1, 31),
+                F.concat_ws(
+                    "-",
+                    F.regexp_extract(src, pat, 3),
+                    mnum,
+                    F.lpad(day.cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit(""))
         else:
             cand = F.regexp_extract(src, pat, 1)
         hit = cand != ""

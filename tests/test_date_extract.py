@@ -83,3 +83,23 @@ def test_zero_shuffle_plan(spark):
     plan = dates.date_extract(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_us_prose_dates(spark):
+    got = _extract(
+        spark,
+        [
+            (0, "Published May 5, 2019 by staff", "u"),
+            (1, "published JANUARY 31, 1999.", "u"),      # case-free
+            (2, "Deced 45, 2019 nothing", "u"),           # no month
+            (3, "Published May 32, 2019", "u"),           # day 32 invalid
+            (4, "ISO wins 2020-01-01 over May 5, 2019", "u"),
+            (5, "September 7, 2021 essay", "u"),
+        ],
+    )
+    assert got[0] == ("2019-05-05", "text_us")
+    assert got[1] == ("1999-01-31", "text_us")
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+    assert got[4] == ("2020-01-01", "text")  # bare ISO outranks prose
+    assert got[5] == ("2021-09-07", "text_us")
