@@ -2639,6 +2639,40 @@ def q_refetch_schedule(spark, sf_dir):
     return snapshots.refetch_schedule(inp)
 
 
+def q_focused_priority(spark, sf_dir):
+    """Focused-crawl frontier scoring (anchors.focused_priority) over
+    the full anchor_pairs chain: each doc links to target doc_id%40
+    with anchor text cycling 2-keyword / 0-keyword / 1-keyword by
+    doc_id%3, plus a second always-off-topic link to (doc_id+7)%40;
+    targets with t%5==0 carry 'spark-data' in the URL (url_hits=2).
+    Lexicon: spark, crawler, data.  Oracle replays both link rows per
+    doc, the contains hits, the rollup, and the boost formula."""
+    from .functions import anchors
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    t1 = F.col("doc_id") % 40
+    t2 = (F.col("doc_id") + 7) % 40
+    def turl(t):
+        return F.concat(
+            F.format_string("https://t/%d", t),
+            F.when(t % 5 == 0, F.lit("/spark-data")).otherwise(F.lit("")),
+        )
+    a1 = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("spark crawler tutorial"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("cat pictures gallery"))
+        .otherwise(F.lit("big data pipeline"))
+    )
+    html = F.concat(
+        F.lit('<body><a href="'), turl(t1), F.lit('">'), a1,
+        F.lit('</a><a href="'), turl(t2),
+        F.lit('">random link</a></body>'),
+    )
+    pairs = anchors.anchor_pairs(d.select(html.alias("html")))
+    return anchors.focused_priority(
+        pairs, keywords=("spark", "crawler", "data")
+    )
+
+
 QUERIES = {
     # -- never driver-checked before r4 ------------------------------
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2795,6 +2829,7 @@ QUERIES = {
     "schema_types": q_schema_types,
     "bitext_pairs": q_bitext_pairs,
     "refetch_schedule": q_refetch_schedule,
+    "focused_priority": q_focused_priority,
 }
 
 # =====================================================================
@@ -5750,4 +5785,47 @@ ORACLES["refetch_schedule"] = r"""
            case when declared > adaptive then 'declared'
                 else 'adaptive' end as source
     from calc
+"""
+
+ORACLES["focused_priority"] = r"""
+    with links as (
+      select printf('https://t/%d', doc_id % 40)
+             || case when (doc_id % 40) % 5 = 0 then '/spark-data'
+                     else '' end as target,
+             case doc_id % 3
+               when 0 then 'spark crawler tutorial'
+               when 1 then 'cat pictures gallery'
+               else 'big data pipeline' end as anchor
+      from documents
+      union all
+      select printf('https://t/%d', (doc_id + 7) % 40)
+             || case when ((doc_id + 7) % 40) % 5 = 0 then '/spark-data'
+                     else '' end as target,
+             'random link' as anchor
+      from documents
+    ), scored as (
+      select target,
+             (case when contains(lower(anchor), 'spark') then 1 else 0 end
+              + case when contains(lower(anchor), 'crawler') then 1 else 0 end
+              + case when contains(lower(anchor), 'data') then 1 else 0 end
+             ) > 0 as hit
+      from links
+    ), agg as (
+      select target,
+             cast(count(*) as bigint) as n_refs,
+             cast(count(*) filter (where hit) as bigint) as n_hit_refs
+      from scored group by target
+    )
+    select target, n_refs, n_hit_refs,
+           cast(case when contains(lower(target), 'spark') then 1 else 0 end
+                + case when contains(lower(target), 'crawler') then 1 else 0 end
+                + case when contains(lower(target), 'data') then 1 else 0 end
+             as bigint) as url_hits,
+           cast(floor(n_hit_refs * 1000000.0 / n_refs)
+                + 250000 * least(
+                    case when contains(lower(target), 'spark') then 1 else 0 end
+                    + case when contains(lower(target), 'crawler') then 1 else 0 end
+                    + case when contains(lower(target), 'data') then 1 else 0 end,
+                    4) as bigint) as focus_micro
+    from agg
 """

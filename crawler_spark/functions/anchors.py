@@ -59,3 +59,58 @@ def anchor_summary(pairs: DataFrame) -> DataFrame:
         )
         .select("target", "n_refs", F.col("w.anchor").alias("top_anchor"))
     )
+
+
+def focused_priority(
+    pairs: DataFrame,
+    keywords: tuple[str, ...],
+    url_boost_micro: int = 250_000,
+    max_url_hits: int = 4,
+) -> DataFrame:
+    """Focused-crawl frontier scoring (Chakrabarti-style topical
+    crawling): ``(target, n_refs, n_hit_refs, url_hits, focus_micro)``
+    — how topically relevant each frontier URL looks BEFORE fetching
+    it, from the two signals available pre-fetch: the anchor text of
+    the links pointing at it, and the URL string itself.
+
+    A focused crawl spends its politeness budget on the topic: the
+    frontier ranks by ``focus_micro`` = floor(1e6 * hit-inlinks /
+    inlinks) + url_boost * min(url keyword hits, cap), composing with
+    the engine's two-level priority queue exactly like
+    graph.pagerank_micro and hoststats.host_reputation do.  The
+    reference's priority is a static per-RULE constant (schedule.go);
+    it cannot prefer on-topic pages within a rule.
+
+    ``keywords`` are compile-time literals: each expands to a codegen
+    ``contains`` on the lowercased anchor (substring semantics —
+    lexicon entries are chosen to be unambiguous, the standard
+    focused-crawl trade).  Scale shape: pair scoring is scan-local;
+    the rollup is ONE map-side-combined groupBy(target); the URL-hit
+    term is computed on the aggregated row (one row per target, not
+    per link).
+    """
+    if not keywords:
+        raise ValueError("focused_priority needs a non-empty lexicon")
+
+    def hits(col):
+        lowered = F.lower(col)
+        return sum(
+            lowered.contains(k.lower()).cast("long") for k in keywords
+        )
+
+    per_pair = pairs.select(
+        "target", (hits(F.col("anchor")) > 0).cast("long").alias("__hit")
+    )
+    agg = per_pair.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.sum("__hit").cast("long").alias("n_hit_refs"),
+    )
+    url_hits = hits(F.col("target"))
+    return agg.select(
+        "target", "n_refs", "n_hit_refs",
+        url_hits.cast("long").alias("url_hits"),
+        (
+            F.floor(F.col("n_hit_refs") * 1_000_000 / F.col("n_refs"))
+            + url_boost_micro * F.least(url_hits, F.lit(max_url_hits))
+        ).cast("long").alias("focus_micro"),
+    )
