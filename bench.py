@@ -65,13 +65,24 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     already built — matching how a user would hit a warm session).
 
     BOTH series are emitted (VERDICT r3 #5: the recorded run must always
-    sit beside the best-of, same rep protocol across compared rounds)."""
-    from crawler_spark.entry_queries import QUERIES
+    sit beside the best-of, same rep protocol across compared rounds).
 
+    COLD protocol (r5, VERDICT r4 #2): every cross-query plan memo
+    (dedup probe persists + shingle LRU) is cleared before each timed
+    query, so no row's number is flattered by a persist another query
+    built — what the sweep records is what a user running that one
+    query pays.  Set CRAWL_BENCH_WARM=1 for the legacy warm protocol
+    (used once in ROUNDS.md for the r4-comparable drift cross-check)."""
+    from crawler_spark.entry_queries import QUERIES
+    from crawler_spark.functions import dedup
+
+    warm = os.environ.get("CRAWL_BENCH_WARM", "") == "1"
     times: dict[str, float] = {}
     rep1: dict[str, float] = {}
     for rep in range(QUERY_REPS):
         for name in sorted(QUERIES):
+            if not warm:
+                dedup.clear_plan_caches()
             t0 = time.time()
             _force(QUERIES[name](spark, sf_dir))
             wall = round(time.time() - t0, 3)
@@ -227,10 +238,48 @@ def main() -> None:
         "cores": cores,
         "crawl": crawl,
     }
-    line = json.dumps(out)
-    if args.json:
-        with open(args.json, "w") as f:
-            f.write(line + "\n")
+    full_path = args.json or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_bench_full.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            f.write(json.dumps(out) + "\n")
+    except OSError:
+        full_path = None
+    # The driver captures only the LAST 2000 chars of stdout (BENCH_r3/r4
+    # "parsed": null), so the final line must be a COMPACT summary: the
+    # headline queries + crawl essentials, full record in `full_path`.
+    headline = [
+        "crawl_full", "schedule_round", "politeness_rank", "dedup_anti_join",
+        "dedup_exact", "dedup_minhash_lsh", "simhash_pairs", "dedup_containment",
+        "fuzzy_dedup_e2e", "substring_scrub", "scrub_apply", "repetition_scores",
+        "knn_join", "knn_join_lsh", "ann_brute_topk", "semantic_dedup",
+        "bm25_topk", "text_quality", "lang_id_lm", "html_extract",
+        "token_budget", "winnow_counts_prod", "mirror_hosts", "site_template",
+        "cluster_keep_best", "dedup_exact_stream", "cosine_neardup",
+    ]
+    crawl_keys = [
+        "rounds", "urls_scheduled", "wall_sec", "cores", "urls_per_sec",
+        "steady_urls_per_sec", "steady_urls_per_sec_per_core",
+    ]
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: queries[k] for k in headline if k in queries},
+        "n_queries": len(queries),
+        "reps": QUERY_REPS,
+        "protocol": "cold" if os.environ.get("CRAWL_BENCH_WARM", "") != "1" else "warm",
+        "sf": out["sf"],
+        "cores": cores,
+        "crawl": {k: crawl[k] for k in crawl_keys if k in crawl},
+        "full_record": full_path,
+    }
+    line = json.dumps(compact)
+    while len(line) > 1900 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
     print(line)
     spark.stop()
 

@@ -2422,9 +2422,13 @@ def q_site_template(spark, sf_dir):
     shared by exactly 2 docs of one host (kept, under min_docs=3),
     a 'cross' line shared by 20 docs but only 2 PER HOST (kept —
     the exact case the corpus-global stage would wrongly drop), and
-    a global share-footer on doc_id%2==0 (~25 docs/host -> dropped).
-    Oracle replays synthesis, the (host,fp) threshold, and ordered
-    reassembly."""
+    a global share-footer on doc_id%3==0 — gcd(3,10)=1, so EVERY host
+    carries it on ~1/3 of its docs (>= min_docs, dropped) while the
+    other ~2/3 of the same host's docs lack it: the mixed-per-host
+    case, lines dropped from some of a host's docs but not others
+    (ADVICE r4: the old doc_id%2 key made footer presence
+    host-determined, all-or-nothing per host).  Oracle replays
+    synthesis, the (host,fp) threshold, and ordered reassembly."""
     d = _docs(spark, sf_dir).select("doc_id")
     host = F.format_string("h%d", F.col("doc_id") % 10)
     g = F.floor(F.col("doc_id") / 20).cast("long")
@@ -2436,7 +2440,7 @@ def q_site_template(spark, sf_dir):
         F.format_string("cross %d", g),
     )
     text = F.when(
-        F.col("doc_id") % 2 == 0,
+        F.col("doc_id") % 3 == 0,
         F.concat(base, F.lit("\nshare this page on social media")),
     ).otherwise(base)
     out = dedup.drop_site_template_lines(
@@ -2674,140 +2678,13 @@ def q_focused_priority(spark, sf_dir):
 
 
 QUERIES = {
-    # -- never driver-checked before r4 ------------------------------
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "mojibake_detect": q_mojibake_detect,
-    "badwords_filter": q_badwords_filter,
-    "main_content": q_main_content,
-    "script_detect": q_script_detect,
-    "bigram_lm": q_bigram_lm,
-    "dedup_containment": q_dedup_containment,
-    "dedup_incremental": q_dedup_incremental,
-    "dup_substrings": q_dup_substrings,
-    "host_cap_sample": q_host_cap_sample,
-    "image_dedup": q_image_dedup,
-    "quality_classifier": q_quality_classifier,
-    "scrub_apply": q_scrub_apply,
-    "substring_scrub": q_substring_scrub,
-    "winnow_counts_prod": q_winnow_prod,
-    # -- kernels rewritten in r3 after their last driver-green row ---
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "simhash_pairs": q_simhash_pairs,
-    # -- NEW in r4 (must sit inside the window) ----------------------
-    "c4_filters": q_c4_filters,
-    "dsir_weights": q_dsir_weights,
-    "semantic_dedup": q_semantic_dedup,
-    "ccnet_buckets": q_ccnet_buckets,
-    "bm25_topk": q_bm25_topk,
-    "hybrid_rrf": q_hybrid_rrf,
-    "robots_rules": q_robots_rules,
-    "boilerplate_ngrams": q_boilerplate_ngrams,
-    "chunk_documents": q_chunk_documents,
-    "registered_domain": q_registered_domain,
-    "feed_parse": q_feed_parse,
-    "domain_split": q_domain_split,
-    "token_budget": q_token_budget,
-    "shard_shuffle": q_shard_shuffle,
-    # -- newest green row is r2 (driver capped at 50 in r3) ----------
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "winnow_fingerprints": q_winnow,
-    "ann_brute_topk": q_ann_brute_topk,
-    "knn_join": q_knn_join,
-    "knn_join_lsh": q_knn_join_lsh,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "cosine_neardup": q_cosine_neardup,
-    "cosine_neardup_lsh": q_cosine_neardup_lsh,
-    "multimodal_decode": q_multimodal_decode,
-    "frame_sample": q_frame_sample,
-    "audio_resample": q_audio_resample,
-    "corpus_clean": q_corpus_clean,
-    # -- r3-green rows touched by r4 fixes (must re-verify) ----------
-    "revisit_stream": q_revisit_stream,
-    "jsonl_roundtrip": q_jsonl_roundtrip,
-    "decontaminate": q_decontaminate,
-    "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
-    # -- r3-green fill ------------------------------------------------
-    # repetition_scores stays inside the window: its counting kernel
-    # was rewritten in r4 (Arrow pass), so its r3 green predates the
-    # kernel — rewritten rows jump the queue
-    "repetition_scores": q_repetition_scores,
-    # ---------------- driver window ends here (50) ------------------
-    # politeness_rank/schedule_round/priority_topk displaced by the
-    # four new r4 rows (bpe_pair_counts, mojibake_detect,
-    # badwords_filter, main_content — new rows enter the front): all
-    # three r3 hash-green, kernels untouched since.
-    "politeness_rank": q_politeness_rank,
-    "schedule_round": q_schedule_round,
-    "priority_topk": q_priority_topk,
-    # stratified_sample also displaced (r2 hash-green, sample_stratified
-    # kernel untouched since it landed) to keep the rewritten
-    # repetition_scores inside the window
-    "stratified_sample": q_stratified_sample,
-    # html_extract displaced for the same reason when script_detect
-    # entered the front (html_to_text untouched since it landed)
-    "html_extract": q_html_extract,
-    # Everything below is r3 hash-green (CORRECTNESS_r03.json) with its
-    # kernel untouched since that green row.  Displaced during r4 to
-    # make room, in order: lang_id_lm + gopher_rules (by ccnet_buckets +
-    # bm25_topk), sessionize + events_window_stream (by hybrid_rrf +
-    # robots_rules), link_explode + link_truncate (by decontaminate +
-    # fuzzy_dedup_e2e, whose shingle plans changed late in r4),
-    # tfidf_topk (by boilerplate_ngrams), text_quality (by
-    # chunk_documents), rlike_filter (by registered_domain),
-    # body_length_filter (by feed_parse), regex_field_extract +
-    # fingerprint (by domain_split + token_budget), dedup_anti_join
-    # (by shard_shuffle) — all r3-green with untouched kernels, the
-    # least-stale displacements available.
-    "dedup_anti_join": q_dedup_anti_join,
-    "regex_field_extract": q_regex_field_extract,
-    "fingerprint": q_fingerprint,
-    "link_explode": q_link_explode,
-    "body_length_filter": q_body_length_filter,
-    "rlike_filter": q_rlike_filter,
-    "text_quality": q_text_quality,
-    "link_truncate": q_link_truncate,
-    "tfidf_topk": q_tfidf_topk,
-    "sessionize": q_sessionize,
-    "events_window_stream": q_events_window_stream,
-    "lang_id_lm": q_lang_id_lm,
-    "gopher_rules": q_gopher_rules,
-    "host_rank": q_host_rank,
-    "dedup_clusters": q_dedup_clusters,
-    "warc_roundtrip": q_warc_roundtrip,
-    "revisit_records": q_revisit_records,
-    "per_source_agg": q_per_source_agg,
-    "pricing_summary": q_pricing_summary,
-    "shipping_priority": q_shipping_priority,
-    "regional_revenue": q_regional_revenue,
-    "forecast_revenue": q_forecast_revenue,
-    "priority_check": q_priority_check,
-    "json_extract": q_json_extract,
-    "source_rollup": q_source_rollup,
-    "pii_redact": q_pii_redact,
-    "line_dedup": q_line_dedup,
-    "sequence_pack": q_sequence_pack,
-    "snapshot_diff": q_snapshot_diff,
-    "cdx_index": q_cdx_index,
-    "corpus_stats": q_corpus_stats,
-    "length_quantiles": q_length_quantiles,
-    "mixture_sample": q_mixture_sample,
-    "recrawl_priority": q_recrawl_priority,
-    "host_reputation": q_host_reputation,
-    "blocklist_filter": q_blocklist_filter,
-    "cluster_keep_best": q_cluster_keep_best,
-    "anchor_text": q_anchor_text,
-    "dedup_exact_stream": q_dedup_exact_stream,
-    "redirect_resolve": q_redirect_resolve,
-    "sitemap_parse": q_sitemap_parse,
-    "trap_detect": q_trap_detect,
-    # -- late-r4 additions, below the window BY POLICY: entering them
-    # now would displace rows that must re-verify this round (every
-    # window row above is either never-driver-checked or was modified
-    # in r4).  All ten are local-gate green (test_entry_contract) and
-    # are FIRST into the r5 window per the documented rotation — ahead
-    # of the old-green rotation queue in SURVEY.md §round-5 plan.
+    # ================= r5 driver window (first 50) ===================
+    # Rotation executed per SURVEY.md "Round-5 rotation plan" and
+    # VERDICT r4 item #1: (a) the 22 late-r4 rows that have never
+    # received a driver row, (b) the 2 rows whose newest driver green
+    # is r2, (c) the three bench-watch rows (VERDICT r4 "What's wrong"
+    # #5) ahead of the fill, (d) r3-green fill in prior dict order.
+    # -- (a) never driver-checked (late-r4 additions) -----------------
     "url_features": q_url_features,
     "link_spam": q_link_spam,
     "vocab_growth": q_vocab_growth,
@@ -2830,6 +2707,112 @@ QUERIES = {
     "bitext_pairs": q_bitext_pairs,
     "refetch_schedule": q_refetch_schedule,
     "focused_priority": q_focused_priority,
+    # -- (b) newest driver green is r2 --------------------------------
+    "stratified_sample": q_stratified_sample,
+    "html_extract": q_html_extract,
+    # -- (c) bench-watch rows (re-verify + re-bench inside the window)
+    "cluster_keep_best": q_cluster_keep_best,
+    "dedup_exact_stream": q_dedup_exact_stream,
+    "cosine_neardup": q_cosine_neardup,
+    # -- (d) r3-green fill, prior dict order --------------------------
+    "politeness_rank": q_politeness_rank,
+    "schedule_round": q_schedule_round,
+    "priority_topk": q_priority_topk,
+    "dedup_anti_join": q_dedup_anti_join,
+    "regex_field_extract": q_regex_field_extract,
+    "fingerprint": q_fingerprint,
+    "link_explode": q_link_explode,
+    "body_length_filter": q_body_length_filter,
+    "rlike_filter": q_rlike_filter,
+    "text_quality": q_text_quality,
+    "link_truncate": q_link_truncate,
+    "tfidf_topk": q_tfidf_topk,
+    "sessionize": q_sessionize,
+    "events_window_stream": q_events_window_stream,
+    "lang_id_lm": q_lang_id_lm,
+    "gopher_rules": q_gopher_rules,
+    "host_rank": q_host_rank,
+    "dedup_clusters": q_dedup_clusters,
+    "warc_roundtrip": q_warc_roundtrip,
+    "revisit_records": q_revisit_records,
+    "per_source_agg": q_per_source_agg,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    # ---------------- driver window ends here (50) ------------------
+    # Everything below holds a driver hash-green row from r4 or r3
+    # (CORRECTNESS_r04/r03.json) with its kernel untouched since; the
+    # r6 rotation (SURVEY.md ledger) cycles the oldest greens back in.
+    # -- r4-green (checked in the r4 window) --------------------------
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "mojibake_detect": q_mojibake_detect,
+    "badwords_filter": q_badwords_filter,
+    "main_content": q_main_content,
+    "script_detect": q_script_detect,
+    "bigram_lm": q_bigram_lm,
+    "dedup_containment": q_dedup_containment,
+    "dedup_incremental": q_dedup_incremental,
+    "dup_substrings": q_dup_substrings,
+    "host_cap_sample": q_host_cap_sample,
+    "image_dedup": q_image_dedup,
+    "quality_classifier": q_quality_classifier,
+    "scrub_apply": q_scrub_apply,
+    "substring_scrub": q_substring_scrub,
+    "winnow_counts_prod": q_winnow_prod,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "c4_filters": q_c4_filters,
+    "dsir_weights": q_dsir_weights,
+    "semantic_dedup": q_semantic_dedup,
+    "ccnet_buckets": q_ccnet_buckets,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    "robots_rules": q_robots_rules,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
+    "chunk_documents": q_chunk_documents,
+    "registered_domain": q_registered_domain,
+    "feed_parse": q_feed_parse,
+    "domain_split": q_domain_split,
+    "token_budget": q_token_budget,
+    "shard_shuffle": q_shard_shuffle,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "winnow_fingerprints": q_winnow,
+    "ann_brute_topk": q_ann_brute_topk,
+    "knn_join": q_knn_join,
+    "knn_join_lsh": q_knn_join_lsh,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "cosine_neardup_lsh": q_cosine_neardup_lsh,
+    "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
+    "audio_resample": q_audio_resample,
+    "corpus_clean": q_corpus_clean,
+    "revisit_stream": q_revisit_stream,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "decontaminate": q_decontaminate,
+    "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
+    "repetition_scores": q_repetition_scores,
+    # -- r3-green residual (unmodified kernels; r6 rotation queue) ----
+    "regional_revenue": q_regional_revenue,
+    "forecast_revenue": q_forecast_revenue,
+    "priority_check": q_priority_check,
+    "json_extract": q_json_extract,
+    "source_rollup": q_source_rollup,
+    "pii_redact": q_pii_redact,
+    "line_dedup": q_line_dedup,
+    "sequence_pack": q_sequence_pack,
+    "snapshot_diff": q_snapshot_diff,
+    "cdx_index": q_cdx_index,
+    "corpus_stats": q_corpus_stats,
+    "length_quantiles": q_length_quantiles,
+    "mixture_sample": q_mixture_sample,
+    "recrawl_priority": q_recrawl_priority,
+    "host_reputation": q_host_reputation,
+    "blocklist_filter": q_blocklist_filter,
+    "anchor_text": q_anchor_text,
+    "redirect_resolve": q_redirect_resolve,
+    "sitemap_parse": q_sitemap_parse,
+    "trap_detect": q_trap_detect,
 }
 
 # =====================================================================
@@ -5506,7 +5489,7 @@ ORACLES["date_extract"] = r"""
           '/((?:19|20)\d{2})/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])/',
           3) as u3,
         regexp_extract(html,
-          '((?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))',
+          '(?:^|[^0-9-])((?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))(?:[^0-9-]|$)',
           1) as x1
       from pages
     )
@@ -5610,7 +5593,7 @@ ORACLES["site_template"] = r"""
              || printf('unique content %d', doc_id) || chr(10)
              || printf('duo %d %d', doc_id // 20, doc_id % 10) || chr(10)
              || printf('cross %d', doc_id // 20)
-             || case when doc_id % 2 = 0
+             || case when doc_id % 3 = 0
                      then chr(10) || 'share this page on social media'
                      else '' end as t
       from documents
@@ -5659,7 +5642,7 @@ ORACLES["cache_policy"] = r"""
       select doc_id, h,
         regexp_extract(h, '(?i)cache-control:[^\r\n]*s-maxage=(\d+)', 1)
           as smax,
-        regexp_extract(h, '(?i)cache-control:[^\r\n]*max-age=(\d+)', 1)
+        regexp_extract(h, '(?i)cache-control:(?:[^\r\n]*[ ,;])?max-age=(\d+)', 1)
           as mage,
         regexp_matches(h, '(?i)cache-control:[^\r\n]*no-store') as no_store,
         regexp_matches(h, '(?i)cache-control:[^\r\n]*no-cache') as no_cache,

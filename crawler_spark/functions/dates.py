@@ -41,7 +41,11 @@ DATE_PATTERNS = (
     ("jsonld", "html", r'"datePublished"\s*:\s*"' + ISO),
     ("url", "url",
      r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])/"),
-    ("text", "html", ISO),
+    # bare body date: anchored with non-digit/non-hyphen boundaries so
+    # ISO-shaped substrings inside longer tokens (cache-buster params,
+    # '2020-01-0123', '12020-01-01') don't read as publication dates —
+    # RE2-safe boundary groups, no lookaround (ADVICE r4)
+    ("text", "html", r"(?:^|[^0-9-])" + ISO + r"(?:[^0-9-]|$)"),
     ("text_us", "html",
      r"(?i)(January|February|March|April|May|June|July|August"
      r"|September|October|November|December)\s+(\d{1,2}),\s+"

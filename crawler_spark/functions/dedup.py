@@ -400,6 +400,27 @@ def _probe_persist(sh: DataFrame, tag: str) -> DataFrame:
     return sh
 
 
+def clear_plan_caches() -> None:
+    """Unpersist and drop every cross-call memo slot (the probe persists
+    and the shingle LRU).  bench.py calls this before each timed query so
+    every recorded number is COLD — no cross-query plan reuse (VERDICT r4
+    "What's wrong" #2: a warm-memo number misrepresented scrub_apply by
+    6.8x vs the driver's run).  Within one query execution the persists
+    still work normally; only reuse ACROSS query invocations is cut."""
+    for _key, df in list(_probe_slots.values()):
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass  # session already stopped
+    _probe_slots.clear()
+    for df in list(_shingle_lru.values()):
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass  # session already stopped
+    _shingle_lru.clear()
+
+
 def minhash_probe_index(
     indexed: DataFrame,
     incoming: DataFrame,

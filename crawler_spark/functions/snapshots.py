@@ -187,7 +187,13 @@ def cache_policy(
     """
     h = F.col(headers_col)
     smax = F.regexp_extract(h, r"(?i)cache-control:[^\r\n]*s-maxage=(\d+)", 1)
-    mage = F.regexp_extract(h, r"(?i)cache-control:[^\r\n]*max-age=(\d+)", 1)
+    # boundary group keeps the max-age literal from substring-matching
+    # inside s-maxage= (ADVICE r4): the directive follows either the
+    # header colon directly or a space/comma/semicolon separator per
+    # RFC 9111 grammar — never a letter/hyphen
+    mage = F.regexp_extract(
+        h, r"(?i)cache-control:(?:[^\r\n]*[ ,;])?max-age=(\d+)", 1
+    )
     declared = F.when(smax != "", smax.cast("long")).when(
         mage != "", mage.cast("long")
     )

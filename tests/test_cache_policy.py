@@ -105,3 +105,22 @@ def test_refetch_schedule_policy(spark):
     assert got[4] == (86400, "declared")
     assert got[5] == (7200, "adaptive")
     assert got[6] == (1800, "adaptive")
+
+
+def test_smaxage_does_not_leak_into_max_age(spark):
+    # ADVICE r4: the max-age literal must not substring-match inside
+    # s-maxage=.  A header carrying ONLY s-maxage sets max_age_s from
+    # s-maxage and the mage extract stays empty.
+    from crawler_spark.functions import snapshots
+
+    df = spark.createDataFrame(
+        [(0, "HTTP/1.1 200 OK\r\nCache-Control: s-maxage=7200\r\n"),
+         (1, "HTTP/1.1 200 OK\r\nCache-Control:max-age=300\r\n"),
+         (2, "HTTP/1.1 200 OK\r\nCache-Control: public,max-age=600\r\n")],
+        "doc_id long, headers string",
+    )
+    got = {r["doc_id"]: r["max_age_s"]
+           for r in snapshots.cache_policy(df).collect()}
+    assert got[0] == 7200   # s-maxage only; not doubled into mage
+    assert got[1] == 300    # colon boundary (no space)
+    assert got[2] == 600    # comma boundary

@@ -103,3 +103,31 @@ def test_us_prose_dates(spark):
     assert got[3] == (None, None)
     assert got[4] == ("2020-01-01", "text")  # bare ISO outranks prose
     assert got[5] == ("2021-09-07", "text_us")
+
+
+def test_bare_date_boundaries(spark):
+    # ADVICE r4: ISO-shaped substrings inside longer tokens must not
+    # read as publication dates — the bare-text pattern is anchored
+    # with non-digit/non-hyphen boundary groups.
+    got = _extract(
+        spark,
+        [
+            # digit-glued prefix/suffix: no match
+            (0, "order 12020-01-01 ref", "https://e.com/p"),
+            (1, "span 2020-01-0123 end", "https://e.com/p"),
+            # hyphen-glued: no match (range fragment / version chain)
+            (2, "rev-2020-01-01-5 tag", "https://e.com/p"),
+            # clean delimiters still match: space, punctuation, BOL/EOL
+            (3, "posted 2020-01-01.", "https://e.com/p"),
+            (4, "2020-01-01", "https://e.com/p"),
+            # a letter prefix is a legal boundary (v2020-01-01 matches,
+            # same as the RE2 (?<![\d-]) equivalent would)
+            (5, "v2020-01-01", "https://e.com/p"),
+        ],
+    )
+    assert got[0] == (None, None)
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)
+    assert got[3] == ("2020-01-01", "text")
+    assert got[4] == ("2020-01-01", "text")
+    assert got[5] == ("2020-01-01", "text")
