@@ -1459,19 +1459,25 @@ def q_knn_join_lsh(spark, sf_dir):
     query-broadcast ceiling: both sides hashed to hyperplane buckets,
     shuffle join on bucket, exact top-k inside the candidates.
 
-    Contract shape: FULL probe ball (max_hamming = n_planes = 8) — every
-    query probes all 2^8 buckets, and since a corpus row lands in exactly
+    Contract shape: FULL probe ball (max_hamming = n_planes) — every
+    query probes all 2^n buckets, and since a corpus row lands in exactly
     one bucket the candidate set is provably the whole corpus, making
     the result identical to exact knn_join (same pattern as IVF's
     every-cell row).  So the brute-force SQL is an exact oracle for the
     full machinery — numpy-seeded planes, per-row Hamming ball,
     bucket join, in-candidate top-k — retiring the contract's last
-    rows-only row (VERDICT r3 #7).  The PRUNED path (small ball,
+    rows-only row (VERDICT r3 #7).  n_planes=4 (VERDICT r4 #5): the
+    full-ball equivalence proof is independent of plane count, and 2^4
+    probe rows per query instead of r4's 2^8 removes the 16x explode
+    fan-out that made the oracle-able shape 2x slower than the r3
+    pruned shape — the machinery exercised (hashing UDF, ball
+    enumeration, bucket shuffle join, in-candidate window top-k) is
+    identical.  The PRUNED production path (8 planes, small ball,
     recall >=0.9 on clustered data) is asserted in
     tests/test_similarity_lsh.py::test_knn_join_lsh_recall_on_clustered_corpus."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return similarity.knn_join_lsh(emb, queries, k=3, n_planes=8, max_hamming=8)
+    return similarity.knn_join_lsh(emb, queries, k=3, n_planes=4, max_hamming=4)
 
 
 def q_cosine_neardup(spark, sf_dir):
