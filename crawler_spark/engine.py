@@ -431,6 +431,7 @@ def run_round(
         rel_rows = cand.where(_reload_col(cfg.tasks))
         cand = cand.where(~_reload_col(cfg.tasks))
     _t = time.time()
+    spark.sparkContext.setJobDescription(f"crawl r{round_no}: dedup prefilter")
     round_bcs: list = []  # probe broadcasts, destroyed after the round's actions
     # prefilter precedence: the long-lived cuckoo (delete-capable), else
     # the long-lived incremental bloom run_crawl maintains, else — for
@@ -443,6 +444,7 @@ def run_round(
         fpp=cfg.bloom_fpp, min_seen=cfg.bloom_min_seen,
         cuckoo=prefilter, bc_sink=round_bcs,
     )
+    spark.sparkContext.setJobDescription(None)
     bloom_wall = time.time() - _t  # eager: the bloom build collects here
     # in-round duplicate URLs: keep the schedulable-first copy, drop the
     # rest (reference: duplicate skipped at pull once first copy marked
@@ -476,14 +478,20 @@ def run_round(
     rows: dict[str, int] = {}
     stage_wall: dict[str, float] = {}
 
+    _sc = spark.sparkContext
+
     def commit(df: DataFrame, table: str, mode: str = "append") -> None:
         t = time.time()
+        # label every action so the Spark UI / REST API attributes its
+        # jobs (the scaling decomposition groups stage walls by this)
+        _sc.setJobDescription(f"crawl r{round_no}: commit {table}")
         # skip_empty: long crawls must not accrue one empty snapshot dir
         # per table per round (manifest + union growth); overwrites always
         # commit (they reset the live set)
         snaps[table], rows[table] = cat.write_counted(
             df, table, mode, skip_empty=(mode == "append")
         )
+        _sc.setJobDescription(None)
         stage_wall[table] = time.time() - t
 
     # crawl-order artifact committed FIRST: it materializes `scheduled`
@@ -581,6 +589,7 @@ def run_round(
     # (doubling -> amortized O(1) full scans over the whole crawl, vs the
     # old full rebuild EVERY round)
     if bloom is not None and n_seen_delta:
+        spark.sparkContext.setJobDescription(f"crawl r{round_no}: bloom delta")
         if bloom.saturated_by(n_seen_delta):
             bloom.rebuild_from(
                 cat.read(spark, "seen").select("url_hash"),
@@ -588,6 +597,7 @@ def run_round(
             )
         else:
             bloom.or_delta(seen_delta.select("url_hash"), n_seen_delta)
+        spark.sparkContext.setJobDescription(None)
 
     ok = parsed.where(~F.col("banned") & ~F.col("short"))
     items = ok.where(F.col("emit")).select(
@@ -598,8 +608,6 @@ def run_round(
         F.col("data"),
         F.lit(round_no).alias("round"),
     )
-    commit(items, "results")
-    n_items = rows["results"]
 
     # ---- failures: fetch miss or ban -> retry once, then park (F7)
     banned = parsed.where(F.col("banned")).select(*FRONTIER_COLS)
@@ -620,70 +628,109 @@ def run_round(
             (F.col("attempts") + 1).alias("attempts"),
         )
     )
-    commit(parked, "failures")
+
+    # ---- overlapped commit group.  Everything from here to the join
+    # below depends only on the (already materialized) parsed/scheduled/
+    # cand caches, never on each other, so the driver runs the actions
+    # CONCURRENTLY instead of paying their planning + job walls in
+    # sequence (r5 scaling decomposition: the per-round serial action
+    # chain, not executor work, was the 8->32 ceiling).  PySpark pins
+    # each Python thread to its own JVM thread (PYSPARK_PIN_THREAD
+    # default), so job descriptions and scheduler state stay per-action.
+    # Each writes a DIFFERENT table; the state checkpoint (the atomic
+    # commit barrier) still happens strictly after all of them.
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_deferred = -1
+    with ThreadPoolExecutor(max_workers=3, thread_name_prefix="commitpool") as _pool:
+        _f_results = _pool.submit(commit, items, "results")
+        _f_failures = _pool.submit(commit, parked, "failures")
+        # rank_by_budget PARTITIONS cand into scheduled/deferred, so the
+        # deferred size is arithmetic over counts already paid for — a
+        # deferred.count() here re-ran the two-phase rank windows a
+        # second time every round (r4 profile: ~0.5s/round)
+        _f_ndef = _pool.submit(lambda: cand.count() - n_scheduled)
+        # assign_seq in the main thread: it is eager (offsets collect)
+        # and the next section needs its output.
+        # ---- discovery delta: one explode over the parsed cache covers
+        # all LinkRule branches (rule constants ride the rows); seq
+        # assignment children-then-retries per the deterministic-core
+        # contract (SURVEY.md §7 hard part 1).
+        children = children_from_parsed(ok, _max_depth_col(cfg.tasks), round_no)
+        noseq = [c for c in FRONTIER_COLS if c != "seq"]
+        new_rows = (
+            children.select(*noseq).withColumn("_retry", F.lit(0))
+            .unionByName(retries.select(*noseq).withColumn("_retry", F.lit(1)))
+        )
+        _t = time.time()
+        spark.sparkContext.setJobDescription(f"crawl r{round_no}: assign_seq")
+        new_rows, n_new = assign_seq(
+            new_rows, ["_retry", "parent_seq", "link_pos"],
+            start_seq=state["max_seq"] + 1,
+        )
+        new_rows = new_rows.select(*FRONTIER_COLS).persist()
+        seq_wall = time.time() - _t  # eager: offsets collect runs the pipeline
+
+        # ---- frontier delta-commit, still inside the pool scope so the
+        # bucket rewrite (the round's second-largest action) overlaps the
+        # results/failures commits and the deferred count.  Rewrite ONLY
+        # dirty buckets: a bucket is dirty iff it lost rows (something
+        # scheduled from it) or gained rows (children/retries landed in
+        # it); its new contents are the deferred + new rows of that
+        # bucket.  Clean buckets are untouched on disk — they may retain
+        # rows that this round's deterministic filters dropped
+        # (depth-exceeded, now-seen, in-round dup copies, robots): every
+        # one of those is re-dropped identically next round, so the
+        # *live* frontier (what can ever be scheduled) is exactly
+        # deferred ∪ new, the same set the old full overwrite wrote.
+        # Liveness counters therefore come from deferred/new, never from
+        # table row counts.
+        B = cfg.frontier_buckets
+        _bcol = F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
+        _t = time.time()
+        compact = bool(
+            cfg.frontier_compact_every
+            and round_no % cfg.frontier_compact_every == 0
+        )
+        # a resumed crawl may carry a different frontier_buckets than the
+        # table on disk; a partial commit under the new modulus would
+        # orphan rows owned under the old one, so force a reset commit
+        if cat.bucket_count("frontier_pending") not in (None, B):
+            compact = True
+        spark.sparkContext.setJobDescription(
+            f"crawl r{round_no}: frontier delta (dirty scan + count + commit)"
+        )
+        dirty = sorted(
+            r.b
+            for r in scheduled.select(_bcol.alias("b"))
+            .unionByName(new_rows.select(_bcol.alias("b")))
+            .distinct()
+            .collect()
+        )
+        if compact:
+            # full rewrite of the live set: flushes clean buckets' dead rows
+            snaps["frontier_pending"], rows["frontier_pending"] = (
+                cat.commit_buckets(
+                    deferred.unionByName(new_rows),
+                    "frontier_pending", "url_hash", B,
+                )
+            )
+        elif dirty:
+            delta = deferred.unionByName(new_rows).where(_bcol.isin(dirty))
+            snaps["frontier_pending"], rows["frontier_pending"] = (
+                cat.commit_buckets(
+                    delta, "frontier_pending", "url_hash", B, buckets=dirty
+                )
+            )
+        spark.sparkContext.setJobDescription(None)
+        stage_wall["frontier_pending"] = time.time() - _t
+        # pool exit re-raises the first failure, so no commit can be
+        # silently lost before the checkpoint barrier
+        n_deferred = _f_ndef.result()
+        _f_results.result()
+        _f_failures.result()
+    n_items = rows["results"]
     n_parked = rows["failures"]
-
-    # ---- discovery delta: one explode over the parsed cache covers all
-    # LinkRule branches (rule constants ride the rows); seq assignment
-    # children-then-retries per the deterministic-core contract
-    # (SURVEY.md §7 hard part 1).
-    children = children_from_parsed(ok, _max_depth_col(cfg.tasks), round_no)
-    noseq = [c for c in FRONTIER_COLS if c != "seq"]
-    new_rows = (
-        children.select(*noseq).withColumn("_retry", F.lit(0))
-        .unionByName(retries.select(*noseq).withColumn("_retry", F.lit(1)))
-    )
-    _t = time.time()
-    new_rows, n_new = assign_seq(
-        new_rows, ["_retry", "parent_seq", "link_pos"], start_seq=state["max_seq"] + 1
-    )
-    new_rows = new_rows.select(*FRONTIER_COLS).persist()
-    seq_wall = time.time() - _t  # eager: offsets collect runs the pipeline
-
-    # ---- frontier delta-commit: rewrite ONLY dirty buckets.  A bucket
-    # is dirty iff it lost rows (something scheduled from it) or gained
-    # rows (children/retries landed in it); its new contents are the
-    # deferred + new rows of that bucket.  Clean buckets are untouched on
-    # disk — they may retain rows that this round's deterministic filters
-    # dropped (depth-exceeded, now-seen, in-round dup copies, robots):
-    # every one of those is re-dropped identically next round, so the
-    # *live* frontier (what can ever be scheduled) is exactly deferred ∪
-    # new, the same set the old full overwrite wrote.  Liveness counters
-    # therefore come from deferred/new, never from table row counts.
-    B = cfg.frontier_buckets
-    _bcol = F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
-    _t = time.time()
-    compact = bool(
-        cfg.frontier_compact_every and round_no % cfg.frontier_compact_every == 0
-    )
-    # a resumed crawl may carry a different frontier_buckets than the
-    # table on disk; a partial commit under the new modulus would orphan
-    # rows owned under the old one, so force a reset commit instead
-    if cat.bucket_count("frontier_pending") not in (None, B):
-        compact = True
-    dirty = sorted(
-        r.b
-        for r in scheduled.select(_bcol.alias("b"))
-        .unionByName(new_rows.select(_bcol.alias("b")))
-        .distinct()
-        .collect()
-    )
-    # rank_by_budget PARTITIONS cand into scheduled/deferred, so the
-    # deferred size is arithmetic over counts already paid for — a
-    # deferred.count() here re-ran the two-phase rank windows a second
-    # time every round (r4 profile: ~0.5s/round at contract scale)
-    n_deferred = cand.count() - n_scheduled  # cand is persisted: cheap
-    if compact:
-        # full rewrite of the live set: flushes clean buckets' dead rows
-        snaps["frontier_pending"], rows["frontier_pending"] = cat.commit_buckets(
-            deferred.unionByName(new_rows), "frontier_pending", "url_hash", B
-        )
-    elif dirty:
-        delta = deferred.unionByName(new_rows).where(_bcol.isin(dirty))
-        snaps["frontier_pending"], rows["frontier_pending"] = cat.commit_buckets(
-            delta, "frontier_pending", "url_hash", B, buckets=dirty
-        )
-    stage_wall["frontier_pending"] = time.time() - _t
     n_pending = n_deferred + n_new
 
     # ---- incremental cuckoo maintenance (seen_filter='cuckoo'):

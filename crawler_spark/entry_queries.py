@@ -2683,6 +2683,182 @@ def q_focused_priority(spark, sf_dir):
     )
 
 
+
+
+# ------------------------------------------------ mixed-script slice (r5)
+# VERDICT r4 "What's missing" #1: every r4 hash-green ran on ASCII-only
+# input.  These rows run the unicode-sensitive kernels over a
+# deterministic MIXED-SCRIPT synthesis — Cyrillic, CJK (no spaces),
+# Arabic (RTL), Turkish dotted/dotless I (the one code point whose
+# str.lower() EXPANDS), curly punctuation, astral-plane emoji and a
+# mathematical-alphanumeric char — so a multi-byte offset or casing bug
+# can no longer hide behind an ASCII corpus.  The synthesis is shared
+# verbatim between the Spark column and the DuckDB CTE (same UTF-8
+# literals from this file).
+_MIX_SLICES = (
+    "plain ascii document {i} quick brown fox",
+    "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0434\u043e\u043a\u0443\u043c\u0435\u043d\u0442 {i} \u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 \u0437\u0434\u0435\u0441\u044c",
+    "\u8fd9\u662f\u6d4b\u8bd5\u6587\u6863{i}\u4e2d\u6587\u7f51\u9875\u5185\u5bb9\u5728\u6b64",
+    "\u0647\u0630\u0627 \u0645\u0633\u062a\u0646\u062f \u062a\u062c\u0631\u064a\u0628\u064a {i} \u0646\u0635 \u0639\u0631\u0628\u064a \u0647\u0646\u0627",
+    "\u0130stanbul \u0131rmak D\u0130YARBAKIR \u00e7\u0131lg\u0131n belge {i}",
+    "\u201cSmart\u201d quotes \u2014 em\u2026dash mixed \u2116{i}",
+    "emoji \U0001f600 rocket \U0001f680 astral \U0001d518 doc {i}",
+    "mixed \u6df7\u5408 \u0442\u0435\u043a\u0441\u0442 latin {i} \u0646\u0635 together",
+)
+# shared multi-byte passage planted on doc_id%4==0, keyed by group
+# doc_id//40 (10 sharing docs per group): the verbatim-overlap target
+# the scrub rows must locate at MULTI-BYTE char offsets
+_MIX_PASSAGE = (
+    " \u91cd\u590d\u7684\u6bb5\u843d\u5185\u5bb9\u51fa\u73b0\u5728\u6587\u6863\u91cc "
+    "\u043f\u043e\u0432\u0442\u043e\u0440\u044f\u044e\u0449\u0438\u0439\u0441\u044f "
+    "\u0442\u0435\u043a\u0441\u0442 \u043e\u0431\u0449\u0438\u0439 "
+    "\u0646\u0635 \u0645\u0643\u0631\u0631 \U0001f600 shared dup passage g{g} end"
+)
+
+_MIX_LANGS = ("en", "ru", "zh", "ar", "tr", "ty", "em", "mx")
+
+
+def _mixed_text_col():
+    i = F.col("doc_id")
+    k = i % 8
+    expr = None
+    for idx, tpl in enumerate(_MIX_SLICES):
+        pre, post = tpl.split("{i}")
+        cand = F.concat(F.lit(pre), i.cast("string"), F.lit(post))
+        expr = (
+            F.when(k == idx, cand) if expr is None else expr.when(k == idx, cand)
+        )
+    pre, post = _MIX_PASSAGE.split("{g}")
+    passage = F.concat(
+        F.lit(pre), F.floor(i / 40).cast("long").cast("string"), F.lit(post)
+    )
+    return F.when(i % 4 == 0, F.concat(expr, passage)).otherwise(expr)
+
+
+def _mixed_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", _mixed_text_col().alias("text")
+    )
+
+
+def _mixed_cte() -> str:
+    """(doc_id, text) synthesis CTE body, byte-identical to
+    :func:`_mixed_text_col` (same literals, same concatenation)."""
+    whens = []
+    for idx, tpl in enumerate(_MIX_SLICES):
+        pre, post = tpl.split("{i}")
+        whens.append(
+            f"when {idx} then '{pre}' || doc_id || '{post}'"
+        )
+    pre, post = _MIX_PASSAGE.split("{g}")
+    return f"""
+  select doc_id,
+         case doc_id % 8 {' '.join(whens)} end
+         || case when doc_id % 4 = 0
+                 then '{pre}' || (doc_id // 40) || '{post}'
+                 else '' end as text
+  from documents
+"""
+
+
+def q_unicode_clean_mixed(spark, sf_dir):
+    """normalize_unicode_col over the mixed-script corpus: md5 of the
+    normalized text + raw/norm code-point lengths.  Multi-byte coverage
+    the ASCII unicode_clean row cannot give: astral emoji must count as
+    ONE code point in both engines, curly punctuation must translate,
+    and everything else must pass through byte-identically."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    raw = _mixed_text_col()
+    norm = textops.normalize_unicode_col(raw)
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(raw).cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+def q_script_detect_mixed(spark, sf_dir):
+    """script_ratios over the mixed corpus: per-script counts + label
+    with Latin-ext Turkish chars, an astral char in the haystack (must
+    count in NO class without breaking the Java/RE2 range scans), and a
+    three-script mixed slice."""
+    return textops.script_ratios(_mixed_docs(spark, sf_dir))
+
+
+def q_lang_id_mixed(spark, sf_dir):
+    """lang_id_lm self-trained on the mixed corpus with slice labels.
+    The Turkish slice is EXCLUDED: competitive scoring lowercases the
+    full text and Java lower() keeps the combining dot of U+0130 while
+    DuckDB (utf8proc) drops it — the engines legitimately disagree on
+    that one code point's full-string lowercase, so it cannot sit in a
+    hash-checked lower() path (it is covered by the scrub rows, whose
+    kernel is length-preserving by design, and by unicode_clean_mixed
+    via md5 without lower)."""
+    docs = _mixed_docs(spark, sf_dir).where(F.col("doc_id") % 8 != 4)
+    labeled = docs.select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(*[F.lit(x) for x in _MIX_LANGS]),
+            (F.col("doc_id") % 8 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    return textops.lang_id_lm(labeled, labeled)
+
+
+def q_html_extract_mixed(spark, sf_dir):
+    """html_to_text over the template wrap of mixed-script text — the
+    strip/entity/whitespace chain must be byte-transparent to every
+    non-ASCII script (closed-form oracle, same as html_extract)."""
+    wrapped = _mixed_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p{x:1}</style></head><body><div class="a">'),
+            F.col("text"),
+            F.lit("</div><script>var x = '<p>ignore</p>';</script>"
+                  "<p>tail &amp; end</p></body></html>"),
+        ).alias("h"),
+    )
+    return wrapped.select(
+        "doc_id", textops.html_to_text(F.col("h")).alias("vis")
+    )
+
+
+def q_scrub_mixed(spark, sf_dir):
+    """substring_scrub_spans over the mixed corpus: span offsets are
+    CODE-POINT offsets computed on multi-byte text behind a
+    length-preserving lowercase (textops._lower_keep_len) — the exact
+    kernel invariant the r4 ADVICE bug violated, now hash-checked on
+    text where a byte/char confusion or an expanding lowercase shifts
+    every span.  The planted passage makes each doc_id%4==0 doc overlap
+    its 9 group-mates; spans must land on the passage."""
+    return dedup.substring_scrub_spans(
+        _mixed_docs(spark, sf_dir), k=20, w=4, min_shared=5, max_df=200,
+    )
+
+
+def q_scrub_apply_mixed(spark, sf_dir):
+    """apply_scrub_spans over the mixed corpus (composed chain, as
+    scrub_apply): F.aggregate's right-to-left substr fold must cut at
+    code-point offsets on multi-byte text; n_before/n_after/n_cut are
+    length-accounted in the oracle without string surgery."""
+    docs = _mixed_docs(spark, sf_dir)
+    spans = dedup._probe_persist(
+        dedup.substring_scrub_spans(docs, k=20, w=4, min_shared=5, max_df=200),
+        "scrub_spans_mixed",
+    )
+    out = dedup.apply_scrub_spans(docs, spans)
+    return (
+        out.join(spans.select("doc_id").distinct(), "doc_id")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_before"),
+            F.length("scrubbed").cast("long").alias("n_after"),
+            (F.length("text") - F.length("scrubbed")).cast("long").alias("n_cut"),
+        )
+    )
+
+
 QUERIES = {
     # ================= r5 driver window (first 50) ===================
     # Rotation executed per SURVEY.md "Round-5 rotation plan" and
@@ -2720,6 +2896,13 @@ QUERIES = {
     "cluster_keep_best": q_cluster_keep_best,
     "dedup_exact_stream": q_dedup_exact_stream,
     "cosine_neardup": q_cosine_neardup,
+    # -- NEW in r5 (enter the window at birth, per policy) -------------
+    "unicode_clean_mixed": q_unicode_clean_mixed,
+    "script_detect_mixed": q_script_detect_mixed,
+    "lang_id_mixed": q_lang_id_mixed,
+    "html_extract_mixed": q_html_extract_mixed,
+    "scrub_mixed": q_scrub_mixed,
+    "scrub_apply_mixed": q_scrub_apply_mixed,
     # -- (d) r3-green fill, prior dict order --------------------------
     "politeness_rank": q_politeness_rank,
     "schedule_round": q_schedule_round,
@@ -2738,13 +2921,16 @@ QUERIES = {
     "lang_id_lm": q_lang_id_lm,
     "gopher_rules": q_gopher_rules,
     "host_rank": q_host_rank,
+    # ---------------- driver window ends here (50) ------------------
+    # dedup_clusters .. shipping_priority displaced below the window by
+    # the six new mixed-script rows (new rows enter at birth); all six
+    # displaced rows are r3 hash-green with untouched kernels.
     "dedup_clusters": q_dedup_clusters,
     "warc_roundtrip": q_warc_roundtrip,
     "revisit_records": q_revisit_records,
     "per_source_agg": q_per_source_agg,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
-    # ---------------- driver window ends here (50) ------------------
     # Everything below holds a driver hash-green row from r4 or r3
     # (CORRECTNESS_r04/r03.json) with its kernel untouched since; the
     # r6 rotation (SURVEY.md ledger) cycles the oldest greens back in.
@@ -3154,24 +3340,41 @@ group by 1, 2 having count(*) >= {min_shared}
 
 
 def _substring_scrub_oracle(
-    k: int = 20, w: int = 4, min_shared: int = 5, max_df: int = 200
+    k: int = 20, w: int = 4, min_shared: int = 5, max_df: int = 200,
+    src: str = "documents", keep130: bool = False,
 ) -> str:
     """DuckDB twin of q_substring_scrub: the _dup_substrings_oracle
     machinery extended with positions — distinct selected (doc, pos,
     fp), pair qualification on capped fps, the union of shared-fp
     positions per higher-id doc, and the gaps-and-islands interval
-    merge (break when pos exceeds the running max end)."""
+    merge (break when pos exceeds the running max end).
+
+    ``src``: table or parenthesized subquery providing (doc_id, text).
+    ``keep130``: per-char LENGTH-PRESERVING lowercase instead of
+    lower(text) — required on non-ASCII corpora: the production kernel
+    hashes textops._lower_keep_len(text), whose one expanding code
+    point under Python str.lower() is U+0130 'İ' (kept as-is); DuckDB
+    lower() maps it to plain 'i', so the oracle special-cases 304.
+    On ASCII text both forms are identical (the default stays
+    byte-stable for the r4-green rows)."""
     B, M = 131, 1 << 64
     pows = [pow(B, k - 1 - j, M) for j in range(k)]
-    hexpr = " + ".join(
-        f"cast(unicode(substr(lower(text), i + {j}, 1)) as hugeint) * {pows[j]}"
-        for j in range(k)
-    )
+    if keep130:
+        def ch(j: int) -> str:
+            c = f"substr(text, i + {j}, 1)"
+            return (f"(case when unicode({c}) = 304 then cast(304 as hugeint) "
+                    f"else cast(unicode(lower({c})) as hugeint) end)")
+        hexpr = " + ".join(f"{ch(j)} * {pows[j]}" for j in range(k))
+    else:
+        hexpr = " + ".join(
+            f"cast(unicode(substr(lower(text), i + {j}, 1)) as hugeint) * {pows[j]}"
+            for j in range(k)
+        )
     return f"""
 with g as (
   select doc_id as doc, i, ({hexpr}) % {M} as h
   from (select doc_id, text, unnest(generate_series(1, length(text) - {k} + 1)) as i
-        from documents where length(text) >= {k})
+        from {src} as scrub_src where length(text) >= {k})
 ),
 wins as (
   select doc, i,
@@ -3227,10 +3430,12 @@ from num group by doc, isl
 """
 
 
-def _scrub_apply_oracle() -> str:
+def _scrub_apply_oracle(src: str = "documents", keep130: bool = False) -> str:
     """Length accounting over the scrub spans — no string surgery: the
     merged spans are disjoint, so n_after = length - sum(span widths)."""
-    inner = _substring_scrub_oracle(k=20, w=4, min_shared=5, max_df=200)
+    inner = _substring_scrub_oracle(
+        k=20, w=4, min_shared=5, max_df=200, src=src, keep130=keep130
+    )
     return f"""
 with spans as ({inner}),
 agg as (
@@ -3241,7 +3446,7 @@ select d.doc_id,
        cast(length(d.text) as bigint) as n_before,
        cast(length(d.text) - a.n_cut as bigint) as n_after,
        cast(a.n_cut as bigint) as n_cut
-from documents d join agg a on a.doc_id = d.doc_id
+from {src} as d join agg a on a.doc_id = d.doc_id
 """
 
 
@@ -5818,3 +6023,115 @@ ORACLES["focused_priority"] = r"""
                     4) as bigint) as focus_micro
     from agg
 """
+
+
+# ------------------------------------------- mixed-script oracles (r5)
+_MIXED_SRC = "(" + _mixed_cte() + ")"
+
+ORACLES["unicode_clean_mixed"] = f"""
+    with syn as ({_mixed_cte()}), steps as (
+      select doc_id, text as raw,
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              translate(
+                regexp_replace(text,
+                  '[' || chr(8203) || chr(8204) || chr(8205)
+                      || chr(65279) || chr(173) || ']', '', 'g'),
+                chr(160) || chr(8239) || chr(12288) || chr(8216)
+                  || chr(8217) || chr(8220) || chr(8221) || chr(8211)
+                  || chr(8212) || chr(8213),
+                '   ' || chr(39) || chr(39) || '""---'),
+              chr(8230), '...', 'g'),
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'),
+          '\\s+', ' ', 'g')) as norm
+      from syn
+    )
+    select doc_id,
+           md5(norm) as norm_md5,
+           cast(length(raw) as bigint) as raw_len,
+           cast(length(norm) as bigint) as norm_len
+    from steps
+"""
+
+ORACLES["script_detect_mixed"] = f"""
+    with t as ({_mixed_cte()}), c as (
+      select doc_id,
+             cast(len(regexp_extract_all(text, '[A-Za-z\\x{{00C0}}-\\x{{024F}}]')) as bigint) as n_latin,
+             cast(len(regexp_extract_all(text, '[\\x{{0400}}-\\x{{04FF}}]')) as bigint) as n_cyrillic,
+             cast(len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}]')) as bigint) as n_cjk,
+             cast(len(regexp_extract_all(text, '[\\x{{0600}}-\\x{{06FF}}]')) as bigint) as n_arabic,
+             cast(len(regexp_extract_all(text, '[\\x{{AC00}}-\\x{{D7AF}}]')) as bigint) as n_hangul
+      from t
+    )
+    select doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul,
+           case when n_latin > 0 and n_latin >= n_cyrillic and n_latin >= n_cjk
+                     and n_latin >= n_arabic and n_latin >= n_hangul then 'latin'
+                when n_cyrillic > 0 and n_cyrillic > n_latin and n_cyrillic >= n_cjk
+                     and n_cyrillic >= n_arabic and n_cyrillic >= n_hangul then 'cyrillic'
+                when n_cjk > 0 and n_cjk > n_latin and n_cjk > n_cyrillic
+                     and n_cjk >= n_arabic and n_cjk >= n_hangul then 'cjk'
+                when n_arabic > 0 and n_arabic > n_latin and n_arabic > n_cyrillic
+                     and n_arabic > n_cjk and n_arabic >= n_hangul then 'arabic'
+                when n_hangul > 0 and n_hangul > n_latin and n_hangul > n_cyrillic
+                     and n_hangul > n_cjk and n_hangul > n_arabic then 'hangul'
+                else 'none' end as script
+    from c
+"""
+
+_MIX_LANG_CASE = " ".join(
+    f"when {i} then '{x}'" for i, x in enumerate(_MIX_LANGS)
+)
+
+ORACLES["lang_id_mixed"] = f"""
+    with mixed as ({_mixed_cte()}),
+    docs as (
+      select doc_id, text, case doc_id % 8 {_MIX_LANG_CASE} end as lang
+      from mixed where doc_id % 8 <> 4
+    ),
+    toks as (
+      select doc_id, lang, string_split_regex(lower(text), '\\s+') as t
+      from docs
+    ),
+    big as (
+      select doc_id, lang, t[i] as w1, t[i+1] as w2
+      from toks, unnest(generate_series(1, len(t) - 1)) as u(i)
+      where len(t) >= 2
+    ),
+    c2 as (select lang, w1, w2, count(*) as c2 from big group by 1, 2, 3),
+    c1 as (select lang, w1, sum(c2) as c1 from c2 group by 1, 2),
+    model as (
+      select c2.lang as mlang, c2.w1, c2.w2,
+             cast(floor(c2.c2 * 1000000.0 / c1.c1) as bigint) as p_micro
+      from c2 join c1 on c1.lang = c2.lang and c1.w1 = c2.w1
+    ),
+    nb as (select doc_id, count(*) as n_bigrams from big group by 1),
+    per_lang as (
+      select b.doc_id, m.mlang, sum(m.p_micro) as sum_p
+      from big b join model m on m.w1 = b.w1 and m.w2 = b.w2
+      group by 1, 2
+    ),
+    scored as (
+      select p.doc_id, p.mlang,
+             cast(floor(p.sum_p * 1.0 / nb.n_bigrams) as bigint) as score_micro,
+             cast(nb.n_bigrams as bigint) as n_bigrams
+      from per_lang p join nb on nb.doc_id = p.doc_id
+    )
+    select doc_id, mlang as pred_lang, score_micro, n_bigrams from (
+      select *, row_number() over (
+        partition by doc_id order by score_micro desc, mlang asc) as rn
+      from scored
+    ) where rn = 1
+"""
+
+ORACLES["html_extract_mixed"] = f"""
+    select doc_id, text || chr(10) || 'tail & end' as vis
+    from ({_mixed_cte()})
+"""
+
+ORACLES["scrub_mixed"] = _substring_scrub_oracle(
+    k=20, w=4, min_shared=5, max_df=200, src=_MIXED_SRC, keep130=True
+)
+ORACLES["scrub_apply_mixed"] = _scrub_apply_oracle(
+    src=_MIXED_SRC, keep130=True
+)
