@@ -506,6 +506,19 @@ def q_quality_classifier(spark, sf_dir):
     return textops.hashed_linear_score(d, threshold_micro=-218)
 
 
+def q_quality_train(spark, sf_dir):
+    """TRAINED quality classifier (textops.train_quality_perceptron):
+    batch-perceptron weights learned from the corpus over the same
+    md5-hashed token-count features the given-weights scorer
+    (quality_classifier) applies — integer-exact so all 4 epochs of
+    model trajectory hash-match the oracle's replay.  The feature
+    matrix is built with one corpus pass and persisted; each epoch is
+    two map-side-combined shuffles over it; the model state (64
+    weights) is the only driver-resident data."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return textops.train_quality_perceptron(d, n_buckets=64, epochs=4)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source round-trip (sources/warc.py): the documents table is
     serialized into WARC/1.0 response records executor-side (one file
@@ -1869,6 +1882,21 @@ def q_bpe_pair_counts(spark, sf_dir):
     return textops.bpe_pair_counts(d, k=50)
 
 
+def q_bpe_train_merges(spark, sf_dir):
+    """Iterated BPE tokenizer training (textops.bpe_train_merges): the
+    loop bpe_pair_counts computes only step 1 of — learn the first 8
+    merge rules (count weighted adjacent pairs, merge the argmax pair
+    greedily left-to-right in every vocab word, repeat over the merged
+    vocabulary).  The corpus is shuffled ONCE into the persisted
+    word-frequency table; every iteration is vocab-local (pair explode
+    + tiny groupBy + 1-row-broadcast zero-shuffle merge fold).  The
+    oracle replays the same greedy scan as a gaps-and-islands window
+    (select alternate marks per run) — an independent formulation of
+    the same semantics."""
+    d = _docs(spark, sf_dir).select("text")
+    return textops.bpe_train_merges(d, n_merges=8)
+
+
 def q_mojibake_detect(spark, sf_dir):
     """Encoding-quality gate (textops.mojibake_stats): count classic
     UTF-8-as-Latin-1 double-encoding signatures + U+FFFD and flag
@@ -2903,6 +2931,13 @@ QUERIES = {
     "html_extract_mixed": q_html_extract_mixed,
     "scrub_mixed": q_scrub_mixed,
     "scrub_apply_mixed": q_scrub_apply_mixed,
+    "bpe_train_merges": q_bpe_train_merges,
+    "quality_train": q_quality_train,
+    # -- (e) r5 kernel-modified rows jump the queue (policy): the
+    # knn_join_lsh probe-ball/Arrow-scoring rewrite touched the
+    # similarity kernels both these rows ride ------------------------
+    "knn_join_lsh": q_knn_join_lsh,
+    "cosine_neardup_lsh": q_cosine_neardup_lsh,
     # -- (d) r3-green fill, prior dict order --------------------------
     "politeness_rank": q_politeness_rank,
     "schedule_round": q_schedule_round,
@@ -2917,14 +2952,16 @@ QUERIES = {
     "link_truncate": q_link_truncate,
     "tfidf_topk": q_tfidf_topk,
     "sessionize": q_sessionize,
+    # ---------------- driver window ends here (50) ------------------
+    # events_window_stream .. shipping_priority displaced below the
+    # window by the eight new r5 rows (six mixed-script +
+    # bpe_train_merges + quality_train; new rows enter at birth) and
+    # the two r5-kernel-modified similarity rows; all ten displaced
+    # rows are r3 hash-green with untouched kernels.
     "events_window_stream": q_events_window_stream,
     "lang_id_lm": q_lang_id_lm,
     "gopher_rules": q_gopher_rules,
     "host_rank": q_host_rank,
-    # ---------------- driver window ends here (50) ------------------
-    # dedup_clusters .. shipping_priority displaced below the window by
-    # the six new mixed-script rows (new rows enter at birth); all six
-    # displaced rows are r3 hash-green with untouched kernels.
     "dedup_clusters": q_dedup_clusters,
     "warc_roundtrip": q_warc_roundtrip,
     "revisit_records": q_revisit_records,
@@ -2971,10 +3008,10 @@ QUERIES = {
     "winnow_fingerprints": q_winnow,
     "ann_brute_topk": q_ann_brute_topk,
     "knn_join": q_knn_join,
-    "knn_join_lsh": q_knn_join_lsh,
+    # (knn_join_lsh / cosine_neardup_lsh moved into the r5 window:
+    # their kernels changed this round)
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "audio_resample": q_audio_resample,
@@ -4447,6 +4484,134 @@ ORACLES["bpe_pair_counts"] = r"""
     order by cnt desc, pair asc
     limit 50
 """
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """DuckDB twin of q_bpe_train_merges: one CTE block per iteration.
+    The greedy left-to-right merge is replayed as gaps-and-islands over
+    the exploded token positions: mark positions where (tok, next) =
+    the argmax pair; within each maximal run of consecutive marks
+    select alternate ones starting at the run head (selecting position
+    i consumes token i+1, so mark i+1 is invalid — exactly the scan
+    order of the Spark-side fold and of a Python BPE trainer); emit
+    the merged symbol at selected positions, drop the position after,
+    and rebuild the token list ordered by position."""
+    blocks = ["""w0 as (
+  select row_number() over (order by w) as wid, f,
+         list_transform(generate_series(1, length(w)), i -> w[i]) as t
+  from (
+    select w, cast(count(*) as bigint) as f
+    from (select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+          from documents)
+    group by w having length(w) >= 2
+  )
+)"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        blocks.append(f"""p{i} as (
+  select t[j] as lhs, t[j + 1] as rhs, cast(sum(f) as bigint) as cnt
+  from w{p}, unnest(generate_series(1, len(t) - 1)) as u{i}(j)
+  where len(t) >= 2
+  group by 1, 2
+), b{i} as (
+  select lhs, rhs, cnt from p{i} order by cnt desc, lhs, rhs limit 1
+), e{i} as (
+  select wid, f, j as pos, t[j] as tok, b.lhs as bl, b.rhs as br
+  from w{p}, unnest(generate_series(1, len(t))) as v{i}(j), b{i} as b
+), mk{i} as (
+  select *, coalesce(
+    tok = bl and lead(tok) over (partition by wid order by pos) = br,
+    false) as mark
+  from e{i}
+), il{i} as (
+  select *, case when mark
+    then pos - row_number() over (partition by wid, mark order by pos)
+  end as isl
+  from mk{i}
+), sl{i} as (
+  select *, mark and
+    ((pos - min(pos) over (partition by wid, isl)) % 2 = 0) as sel
+  from il{i}
+), em{i} as (
+  select wid, f, pos,
+    case when sel then bl || br
+         when coalesce(lag(sel) over (partition by wid order by pos), false)
+           then null
+         else tok end as emit
+  from sl{i}
+), w{i} as (
+  select wid, any_value(f) as f,
+         list(emit order by pos) filter (where emit is not null) as t
+  from em{i} group by wid
+)""")
+    steps = "\nunion all\n".join(
+        f"select cast({i} as int) as step, lhs, rhs, lhs || rhs as merged, cnt"
+        f" from b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "with " + ",\n".join(blocks) + "\n" + steps
+
+
+ORACLES["bpe_train_merges"] = _bpe_train_oracle(8)
+
+
+def _quality_train_oracle(
+    n_buckets: int = 64, epochs: int = 4, label_mult: int = 5
+) -> str:
+    """DuckDB twin of q_quality_train: the batch-perceptron epochs as
+    chained CTEs — margins per doc from feat x weights, misclassified
+    where y * margin <= 0, bucket delta, weight update, misclassified
+    count — all integer arithmetic, so every epoch's weight vector
+    must match the Spark trajectory exactly."""
+    stop = ", ".join(f"'{s}'" for s in (
+        "the", "and", "of", "to", "a", "in", "is", "for", "on", "it",
+    ))
+    blocks = [f"""t0 as (
+  select doc_id as doc,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') as toks
+  from documents
+), lab as (
+  select doc,
+         case when len(list_filter(toks, x -> list_contains([{stop}], x)))
+                   * {label_mult} >= len(toks)
+              then cast(1 as bigint) else cast(-1 as bigint) end as y
+  from t0 where len(toks) > 0
+), feat as (
+  select doc,
+         cast(cast(concat('0x', substr(md5(tok), 1, 8)) as bigint)
+              % {n_buckets} as int) as b,
+         cast(count(*) as bigint) as c
+  from (select doc, unnest(toks) as tok from t0)
+  group by 1, 2
+), w0 as (
+  select cast(unnest(generate_series(0, {n_buckets - 1})) as int) as b,
+         cast(0 as bigint) as w
+)"""]
+    for i in range(1, epochs + 1):
+        p = i - 1
+        blocks.append(f"""m{i} as (
+  select f.doc, sum(w.w * f.c) as s
+  from feat f join w{p} w using (b) group by f.doc
+), mis{i} as (
+  select l.doc, l.y from lab l join m{i} m on l.doc = m.doc
+  where l.y * m.s <= 0
+), d{i} as (
+  select f.b, cast(sum(l.y * f.c) as bigint) as d
+  from mis{i} l join feat f on f.doc = l.doc group by f.b
+), w{i} as (
+  select w.b, cast(w.w + coalesce(d.d, 0) as bigint) as w
+  from w{p} w left join d{i} d using (b)
+), n{i} as (select cast(count(*) as bigint) as nm from mis{i})""")
+    steps = "\nunion all\n".join(
+        f"select cast({i} as int) as epoch, b as bucket, w,"
+        f" (select nm from n{i}) as n_mis from w{i}"
+        for i in range(1, epochs + 1)
+    )
+    return "with " + ",\n".join(blocks) + "\n" + steps
+
+
+ORACLES["quality_train"] = _quality_train_oracle(64, 4)
 
 ORACLES["mojibake_detect"] = f"""
     with t as (

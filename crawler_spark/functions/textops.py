@@ -1112,6 +1112,114 @@ def hashed_linear_score(
     ).withColumn("keep", F.col("score_micro") > F.lit(threshold_micro))
 
 
+#: Stopword set for the perceptron's deterministic training label: a
+#: stopword-density split (prose reads high, keyword/template spam
+#: reads low) — the same signal Gopher's stop_word rule keys on.
+PERCEPTRON_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "for", "on", "it",
+)
+
+
+def train_quality_perceptron(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    epochs: int = 4,
+    label_mult: int = 5,
+) -> DataFrame:
+    """TRAINED hashed-feature quality classifier — the upgrade of
+    :func:`hashed_linear_score` from given weights to weights LEARNED
+    from the corpus (CCNet/fastText train their model-filter; the
+    given-weights row only applies one).  Batch perceptron, integer
+    arithmetic throughout so both engines reproduce every weight
+    bit-for-bit (float GD cannot be hash-compared across engines):
+
+    - features: x[b] = count of tokens hashing to bucket b (same
+      lower/[^a-z]+ tokenization and md5-bucket convention as
+      hashed_linear_score, ``n_buckets`` buckets);
+    - label: y = +1 iff ``label_mult`` * (stopword tokens) >=
+      n_tokens else -1 (stopword-density prose split);
+    - epoch: margin_d = y_d * sum_b w[b] * x_d[b]; every doc with
+      margin <= 0 is misclassified; w[b] += sum over misclassified
+      of y_d * x_d[b].  Training docs = docs with >= 1 token.
+
+    Returns the model trajectory: one row per (epoch, bucket) with
+    the post-epoch weight and that epoch's misclassified count —
+    ``(epoch, bucket, w, n_mis)``, epochs * n_buckets rows.
+
+    Scale shape: the feature matrix (doc, bucket, cnt) is built with
+    ONE corpus pass + one map-side-combined shuffle and persisted;
+    each epoch is two shuffles over that matrix (margins per doc,
+    delta per bucket — both partial-aggregated).  Model state is
+    ``n_buckets`` ints resident on the driver between epochs — the
+    distributed-gradient-descent shape: the driver aggregates a
+    bucket-sized delta (bounded collect, n_buckets rows/epoch,
+    documented like the bloom/cuckoo state), never doc-sized data."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("t"))
+    stop_arr = F.array(*[F.lit(s) for s in PERCEPTRON_STOPWORDS])
+    lab = base.where(F.size("t") > 0).select(
+        "doc",
+        F.when(
+            F.size(F.filter(F.col("t"), lambda x: F.array_contains(stop_arr, x)))
+            * label_mult
+            >= F.size("t"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+    feat = (
+        base.select("doc", F.explode("t").alias("tok"))
+        .select("doc", bucket.alias("b"))
+        .groupBy("doc", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # the one corpus-scale artifact; reused by every epoch
+    from . import dedup as _dedup
+
+    feat = _dedup._probe_persist(feat, "perceptron_feat")
+    lab = _dedup._probe_persist(lab, "perceptron_lab")
+
+    spark = df.sparkSession
+    w = [0] * n_buckets
+    out_rows: list[tuple[int, int, int, int]] = []
+    for ep in range(1, epochs + 1):
+        warr = F.array(*[F.lit(x).cast("long") for x in w])
+        margins = (
+            feat.select(
+                "doc",
+                (F.element_at(warr, F.col("b") + 1) * F.col("c")).alias("p"),
+            )
+            .groupBy("doc")
+            .agg(F.sum("p").alias("s"))
+        )
+        mis = lab.join(margins, "doc").where(F.col("y") * F.col("s") <= 0)
+        mis = mis.select("doc", "y").persist()
+        n_mis = mis.count()
+        delta = (
+            mis.join(feat, "doc")
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("c")).cast("long").alias("d"))
+            .collect()  # bounded: <= n_buckets rows (the gradient)
+        )
+        mis.unpersist(False)
+        for r in delta:
+            w[r["b"]] += r["d"]
+        out_rows.extend((ep, b, w[b], n_mis) for b in range(n_buckets))
+    return spark.createDataFrame(
+        out_rows, "epoch int, bucket int, w long, n_mis long"
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1766,6 +1874,116 @@ def bpe_pair_counts(
         "cnt",
         F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank"),
     )
+
+
+#: Greedy left-to-right BPE merge of the 1-row-broadcast pair
+#: (bl, br) applied to a token array `t` as a single Catalyst
+#: `aggregate` fold — zero shuffle, runs as a projection over the
+#: vocab-sized word table.  State = (arr: merged-so-far, prev: one
+#: unemitted lookbehind token); emitting `prev` only when it cannot
+#: start a merge reproduces the exact scan a Python BPE trainer does
+#: (after a merge `prev` is cleared, so the merged token never
+#: re-merges within the same pass — "aaa" + (a,a) -> [aa, a]).
+_BPE_MERGE_FOLD = """
+aggregate(
+  t,
+  named_struct('arr', cast(array() as array<string>),
+               'prev', cast(null as string)),
+  (acc, s) -> case
+    when acc.prev = bl and s = br then
+      named_struct('arr', array_append(acc.arr, concat(bl, br)),
+                   'prev', cast(null as string))
+    when acc.prev is null then named_struct('arr', acc.arr, 'prev', s)
+    else named_struct('arr', array_append(acc.arr, acc.prev), 'prev', s)
+  end,
+  acc -> case when acc.prev is null then acc.arr
+              else array_append(acc.arr, acc.prev) end
+)
+"""
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Iterated BPE tokenizer training (the loop :func:`bpe_pair_counts`
+    documents but computes only the first step of): learn the first
+    ``n_merges`` merge rules over the corpus.  Classic Sennrich-style
+    BPE on ``[a-z]+`` word runs of the lowercased text: each iteration
+    counts adjacent-symbol pairs weighted by word frequency, merges the
+    argmax pair — ties broken (cnt desc, lhs asc, rhs asc) — greedily
+    left-to-right in every word, and repeats over the merged vocabulary.
+    Returns one row per learned rule: ``(step, lhs, rhs, merged, cnt)``.
+
+    Scale shape — the whole point of the loop structure: the corpus is
+    touched EXACTLY ONCE, by the word-frequency groupBy (map-side
+    partial counts on short word keys), and the result is persisted as
+    the working table.  Every one of the ``n_merges`` iterations then
+    runs over that VOCAB-sized table: pair counting is an explode +
+    groupBy over (distinct word × word length) rows, argmax is a
+    TakeOrderedAndProject over the tiny pair table, and the merge
+    itself is the zero-shuffle `aggregate` fold above joined as a
+    1-row broadcast — no iteration re-reads or re-shuffles the corpus,
+    so 10^10 docs cost one shuffle + n_merges vocab-local passes.
+    (Catalyst HOF lambdas are interpreted, but the fold runs over the
+    vocab table, not the token stream.)"""
+    words = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("w")
+    )
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .where(F.length("w") >= 2)
+    )
+    # the ONE corpus-scale result; every iteration below re-derives
+    # from this persisted frame (local import: dedup imports textops)
+    from . import dedup as _dedup
+
+    wf = _dedup._probe_persist(wf, "bpe_wf")
+    cur = wf.select(
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("t"),
+        "f",
+    )
+    # guard size(t) >= 2: sequence(1, 0) would DESCEND ([1, 0])
+    pair_expr = (
+        "case when size(t) >= 2 then "
+        "transform(sequence(1, size(t) - 1), "
+        "          i -> named_struct('lhs', t[i - 1], 'rhs', t[i])) "
+        "else cast(array() as array<struct<lhs:string,rhs:string>>) end"
+    )
+    out = None
+    for step in range(1, n_merges + 1):
+        pair_cnt = (
+            cur.select(F.explode(F.expr(pair_expr)).alias("p"), "f")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+        )
+        best = (
+            pair_cnt.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .select(
+                F.col("lhs").alias("bl"),
+                F.col("rhs").alias("br"),
+                F.col("cnt").alias("bcnt"),
+            )
+        )
+        rule = best.select(
+            F.lit(step).cast("int").alias("step"),
+            F.col("bl").alias("lhs"),
+            F.col("br").alias("rhs"),
+            F.concat("bl", "br").alias("merged"),
+            F.col("bcnt").cast("long").alias("cnt"),
+        )
+        out = rule if out is None else out.unionByName(rule)
+        cur = cur.join(F.broadcast(best)).select(
+            F.expr(_BPE_MERGE_FOLD).alias("t"), "f"
+        )
+    return out
 
 
 # ----------------------------------------------- encoding-quality gate
