@@ -519,6 +519,22 @@ def q_quality_train(spark, sf_dir):
     return textops.train_quality_perceptron(d, n_buckets=64, epochs=4)
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Fixed-point Lloyd's k-means over the embeddings table
+    (similarity.kmeans_fixed_point): 3 assignment passes / 2 centroid
+    recomputes at k=8 — the iterative-clustering core under SemDeDup /
+    IVF training, made engine-portable by keeping EVERY step integer
+    (grid-quantized points, exact integer centroid sums, floor-division
+    centroid grid, lowest-id tie-break) so distributed partial-sum
+    order cannot flip an assignment.  The oracle unrolls the identical
+    three iterations as CTEs in long (vec_id, dim) form — floor
+    division spelled with the posmod identity because DuckDB's ``//``
+    truncates toward zero while the kernel floors."""
+    return similarity.kmeans_fixed_point(
+        _emb(spark, sf_dir), k=8, iterations=3
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source round-trip (sources/warc.py): the documents table is
     serialized into WARC/1.0 response records executor-side (one file
@@ -2933,6 +2949,7 @@ QUERIES = {
     "scrub_apply_mixed": q_scrub_apply_mixed,
     "bpe_train_merges": q_bpe_train_merges,
     "quality_train": q_quality_train,
+    "kmeans_assign": q_kmeans_assign,
     # -- (e) r5 kernel-modified rows jump the queue (policy): the
     # knn_join_lsh probe-ball/Arrow-scoring rewrite touched the
     # similarity kernels both these rows ride ------------------------
@@ -4612,6 +4629,54 @@ def _quality_train_oracle(
 
 
 ORACLES["quality_train"] = _quality_train_oracle(64, 4)
+
+
+def _kmeans_oracle(
+    k: int = 8, dims: int = 64, iters: int = 3, scale: int = 1000, two: int = 16
+) -> str:
+    """Unrolled fixed-point Lloyd's (see q_kmeans_assign).  Floor
+    division over possibly-negative integer sums is spelled with the
+    posmod identity ``(a - ((a % c) + c) % c) // c`` because DuckDB's
+    ``//`` truncates toward zero while Python's floors."""
+    parts = [
+        f"""pts as (
+  select vec_id, cast(t.d as int) as d,
+         cast(floor(cast(embedding[cast(t.d as int) + 1] as double)
+                    * {scale}.0) as bigint) as xq
+  from embeddings, range({dims}) as t(d)
+),
+c0 as (select vec_id as j, d, {two} * xq as m from pts where vec_id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+d{t} as (
+  select p.vec_id, c.j,
+         sum(({two} * p.xq - c.m) * ({two} * p.xq - c.m)) as dist
+  from pts p join c{t - 1} c using (d) group by p.vec_id, c.j
+),
+a{t} as (
+  select vec_id, j as cluster from (
+    select vec_id, j,
+           row_number() over (partition by vec_id order by dist, j) as rn
+    from d{t}) where rn = 1
+)""")
+        if t < iters:
+            parts.append(f""",
+c{t} as (
+  select a.cluster as j, p.d,
+         cast((({two} * sum(p.xq))
+               - (((({two} * sum(p.xq)) % count(*)) + count(*)) % count(*)))
+              // count(*) as bigint) as m
+  from a{t} a join pts p using (vec_id) group by a.cluster, p.d
+)""")
+    return (
+        "with "
+        + "".join(parts)
+        + f"\nselect vec_id, cast(cluster as int) as cluster from a{iters}"
+    )
+
+
+ORACLES["kmeans_assign"] = _kmeans_oracle(8, 64, 3)
 
 ORACLES["mojibake_detect"] = f"""
     with t as (

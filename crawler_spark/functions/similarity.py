@@ -649,3 +649,105 @@ def rrf_fuse(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 1000,
+    cshift: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-point Lloyd's k-means over an ``array<float>`` column —
+    the iterative-clustering core of embedding-space corpus curation
+    (SemDeDup cluster assignment, IVF quantizer training) expressed so
+    ANY engine computes bit-identical assignments.
+
+    All arithmetic is integer, hence order-independent:
+
+    - points are grid-quantized once: ``xq_d = floor(x_d * scale)``
+      (float->double cast is exact; one IEEE multiply + floor, identical
+      everywhere);
+    - centroids live on a ``2**cshift``-finer grid and are derived from
+      exact integer sums: ``m_jd = (2**cshift * sum(xq_d)) // count``
+      (floor division) — integer addition is associative, so partial
+      aggregation order can't flip an assignment, the classic float
+      k-means parity trap;
+    - assignment minimizes the integer distance
+      ``sum_d (2**cshift * xq_d - m_jd)^2`` with ties to the lowest
+      cluster id; empty clusters drop out (never re-seeded).
+
+    Init: the ``k`` lowest-``id_col`` rows' vectors.  Output:
+    ``(id_col, cluster)`` after ``iterations`` assignment passes
+    (``iterations - 1`` centroid recomputes between them).
+
+    Scale shape (MLlib's own Lloyd's pattern): the corpus is scanned
+    once per iteration with the k x dim centroid table folded into the
+    plan as literals (k*dim ints, broadcast-sized by construction);
+    the recompute is one map-side-combined ``(cluster, dim)`` sum whose
+    shuffle is k x dim x partitions rows; driver state is the k x dim
+    int centroid matrix — bounded collect, documented, independent of
+    corpus size.  Reference parity: the reference has no clustering op;
+    this extends its rule-scored frontier semantics (rule.go:50 class
+    of deterministic integer scoring) to embedding space.
+    """
+    two = 1 << cshift
+    pts = emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("xq"),
+    ).persist()
+
+    # init: k lowest-id vectors, centroid grid = 2**cshift * xq
+    seed_rows = (
+        pts.orderBy(id_col).limit(k).collect()
+    )  # bounded: k rows x dim ints
+    cents: dict[int, list[int]] = {
+        j: [two * int(v) for v in r.xq] for j, r in enumerate(seed_rows)
+    }
+
+    def _assign(cmap: dict[int, list[int]]) -> DataFrame:
+        dists = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("xq"),
+                        F.array(*[F.lit(int(m)) for m in mvec]),
+                        lambda x, m: (x * F.lit(two) - m) * (x * F.lit(two) - m),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                F.lit(int(j)).cast("int").alias("j"),
+            )
+            for j, mvec in sorted(cmap.items())
+        ]
+        # array_min over (dist, id) structs = argmin with lowest-id ties
+        return pts.select(
+            id_col, F.array_min(F.array(*dists)).getField("j").alias("cluster")
+        )
+
+    for it in range(iterations):
+        assigned = _assign(cents)
+        if it == iterations - 1:
+            pts.unpersist()
+            return assigned
+        sums = (
+            assigned.join(pts, id_col)
+            .select("cluster", F.posexplode("xq").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )  # bounded: k x dim rows
+        dim = max(r.d for r in sums) + 1
+        nxt: dict[int, list[int]] = {
+            j: [0] * dim for j in {int(r.cluster) for r in sums}
+        }
+        for r in sums:
+            nxt[int(r.cluster)][int(r.d)] = (two * int(r.s)) // int(r.c)
+        cents = nxt
+    raise AssertionError("unreachable: iterations >= 1")
