@@ -519,6 +519,20 @@ def q_quality_train(spark, sf_dir):
     return textops.train_quality_perceptron(d, n_buckets=64, epochs=4)
 
 
+def q_quality_infer(spark, sf_dir):
+    """Model-filter INFERENCE (textops.infer_quality_perceptron): the
+    half of the CCNet/fastText quality gate that touches the whole
+    corpus — train the perceptron (same loop as quality_train), then
+    score every labeled doc with the FINAL weight vector folded into
+    the plan as a 64-long literal array (the "model rides the plan"
+    pattern; never a model join) and emit the per-doc margin, the
+    model's +/-1 call, the stopword-density label, and the agreement
+    flag.  The oracle replays the identical 4 epochs as CTEs and
+    scores from its own w4."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return textops.infer_quality_perceptron(d, n_buckets=64, epochs=4)
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Fixed-point Lloyd's k-means over the embeddings table
     (similarity.kmeans_fixed_point): 3 assignment passes / 2 centroid
@@ -2949,6 +2963,7 @@ QUERIES = {
     "scrub_apply_mixed": q_scrub_apply_mixed,
     "bpe_train_merges": q_bpe_train_merges,
     "quality_train": q_quality_train,
+    "quality_infer": q_quality_infer,
     "kmeans_assign": q_kmeans_assign,
     # -- (e) r5 kernel-modified rows jump the queue (policy): the
     # knn_join_lsh probe-ball/Arrow-scoring rewrite touched the
@@ -2967,14 +2982,15 @@ QUERIES = {
     "rlike_filter": q_rlike_filter,
     "text_quality": q_text_quality,
     "link_truncate": q_link_truncate,
+    # ---------------- driver window ends here (50) ------------------
+    # tfidf_topk, sessionize, events_window_stream .. shipping_priority
+    # displaced below the window by the eleven new r5 rows (six
+    # mixed-script + bpe_train_merges + quality_train + quality_infer +
+    # kmeans_assign; new rows enter at birth) and the two
+    # r5-kernel-modified similarity rows; all displaced rows are
+    # r3 hash-green with untouched kernels and head the r6 queue.
     "tfidf_topk": q_tfidf_topk,
     "sessionize": q_sessionize,
-    # ---------------- driver window ends here (50) ------------------
-    # events_window_stream .. shipping_priority displaced below the
-    # window by the eight new r5 rows (six mixed-script +
-    # bpe_train_merges + quality_train; new rows enter at birth) and
-    # the two r5-kernel-modified similarity rows; all ten displaced
-    # rows are r3 hash-green with untouched kernels.
     "events_window_stream": q_events_window_stream,
     "lang_id_lm": q_lang_id_lm,
     "gopher_rules": q_gopher_rules,
@@ -4572,14 +4588,14 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
 ORACLES["bpe_train_merges"] = _bpe_train_oracle(8)
 
 
-def _quality_train_oracle(
+def _perceptron_oracle_blocks(
     n_buckets: int = 64, epochs: int = 4, label_mult: int = 5
-) -> str:
-    """DuckDB twin of q_quality_train: the batch-perceptron epochs as
-    chained CTEs — margins per doc from feat x weights, misclassified
-    where y * margin <= 0, bucket delta, weight update, misclassified
-    count — all integer arithmetic, so every epoch's weight vector
-    must match the Spark trajectory exactly."""
+) -> list:
+    """Shared CTE blocks for the batch-perceptron oracles (train +
+    infer): margins per doc from feat x weights, misclassified where
+    y * margin <= 0, bucket delta, weight update, misclassified count
+    — all integer arithmetic, so every epoch's weight vector must
+    match the Spark trajectory exactly."""
     stop = ", ".join(f"'{s}'" for s in (
         "the", "and", "of", "to", "a", "in", "is", "for", "on", "it",
     ))
@@ -4620,6 +4636,13 @@ def _quality_train_oracle(
   select w.b, cast(w.w + coalesce(d.d, 0) as bigint) as w
   from w{p} w left join d{i} d using (b)
 ), n{i} as (select cast(count(*) as bigint) as nm from mis{i})""")
+    return blocks
+
+
+def _quality_train_oracle(
+    n_buckets: int = 64, epochs: int = 4, label_mult: int = 5
+) -> str:
+    blocks = _perceptron_oracle_blocks(n_buckets, epochs, label_mult)
     steps = "\nunion all\n".join(
         f"select cast({i} as int) as epoch, b as bucket, w,"
         f" (select nm from n{i}) as n_mis from w{i}"
@@ -4628,7 +4651,31 @@ def _quality_train_oracle(
     return "with " + ",\n".join(blocks) + "\n" + steps
 
 
+def _quality_infer_oracle(
+    n_buckets: int = 64, epochs: int = 4, label_mult: int = 5
+) -> str:
+    """Replays the identical epochs, then scores every labeled doc from
+    the FINAL weight vector w{epochs} (see q_quality_infer)."""
+    blocks = _perceptron_oracle_blocks(n_buckets, epochs, label_mult)
+    return (
+        "with "
+        + ",\n".join(blocks)
+        + f""",
+sc as (
+  select f.doc, cast(sum(w.w * f.c) as bigint) as score
+  from feat f join w{epochs} w using (b) group by f.doc
+)
+select l.doc, s.score,
+       cast(case when s.score > 0 then 1 else -1 end as bigint) as pred,
+       l.y,
+       cast(case when (case when s.score > 0 then 1 else -1 end) = l.y
+                 then 1 else 0 end as int) as correct
+from lab l join sc s on l.doc = s.doc"""
+    )
+
+
 ORACLES["quality_train"] = _quality_train_oracle(64, 4)
+ORACLES["quality_infer"] = _quality_infer_oracle(64, 4)
 
 
 def _kmeans_oracle(

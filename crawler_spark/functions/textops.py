@@ -1156,6 +1156,27 @@ def train_quality_perceptron(
     distributed-gradient-descent shape: the driver aggregates a
     bucket-sized delta (bounded collect, n_buckets rows/epoch,
     documented like the bloom/cuckoo state), never doc-sized data."""
+    w, _feat, _lab, out_rows = _perceptron_fit(
+        df, text_col, id_col, n_buckets, epochs, label_mult
+    )
+    return df.sparkSession.createDataFrame(
+        out_rows, "epoch int, bucket int, w long, n_mis long"
+    )
+
+
+def _perceptron_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    epochs: int,
+    label_mult: int,
+):
+    """Shared batch-perceptron loop (see train_quality_perceptron for
+    semantics and the scale-shape audit).  Returns ``(w, feat, lab,
+    trajectory_rows)`` so the trainer emits the trajectory and the
+    inference kernel applies the final weights without re-deriving the
+    loop."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
     )
@@ -1189,7 +1210,6 @@ def train_quality_perceptron(
     feat = _dedup._probe_persist(feat, "perceptron_feat")
     lab = _dedup._probe_persist(lab, "perceptron_lab")
 
-    spark = df.sparkSession
     w = [0] * n_buckets
     out_rows: list[tuple[int, int, int, int]] = []
     for ep in range(1, epochs + 1):
@@ -1215,8 +1235,58 @@ def train_quality_perceptron(
         for r in delta:
             w[r["b"]] += r["d"]
         out_rows.extend((ep, b, w[b], n_mis) for b in range(n_buckets))
-    return spark.createDataFrame(
-        out_rows, "epoch int, bucket int, w long, n_mis long"
+    return w, feat, lab, out_rows
+
+
+def infer_quality_perceptron(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    epochs: int = 4,
+    label_mult: int = 5,
+) -> DataFrame:
+    """Model-filter INFERENCE — the half of the CCNet/fastText quality
+    gate that actually touches the 100-TB corpus: train the perceptron
+    (see :func:`train_quality_perceptron`), then score EVERY labeled
+    doc with the final weight vector and emit the admission decision.
+
+    Returns ``(doc, score, pred, y, correct)``: the integer margin
+    ``score = sum_b w[b] * x[b]``, the model's call ``pred`` (+1 iff
+    score > 0 — the trainer's own decision boundary: margin <= 0 is
+    misclassified), the stopword-density label ``y``, and
+    ``correct = 1`` iff they agree (training accuracy, per doc).
+
+    Scale shape: inference is the cheap half — the final weights ride
+    the plan as an ``n_buckets``-long literal array (the kmeans /
+    hashed_linear_score "model rides the plan" pattern, never a join),
+    so scoring is ONE map-side-combined (doc) shuffle over the persisted
+    feature matrix plus a join to the label frame; nothing model-sized
+    is ever shuffled.  Training cost is the trainer's (bounded driver
+    state, n_buckets ints)."""
+    w, feat, lab, _rows = _perceptron_fit(
+        df, text_col, id_col, n_buckets, epochs, label_mult
+    )
+    warr = F.array(*[F.lit(x).cast("long") for x in w])
+    scores = (
+        feat.select(
+            "doc",
+            (F.element_at(warr, F.col("b") + 1) * F.col("c")).alias("p"),
+        )
+        .groupBy("doc")
+        .agg(F.sum("p").cast("long").alias("score"))
+    )
+    pred = F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    return (
+        lab.join(scores, "doc")
+        .withColumn("pred", pred)
+        .withColumn(
+            "correct",
+            F.when(F.col("pred") == F.col("y"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .select("doc", "score", "pred", "y", "correct")
     )
 
 
