@@ -549,6 +549,25 @@ def q_kmeans_assign(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_trained(spark, sf_dir):
+    """SemDeDup END-TO-END with TRAINED clusters: kmeans_fixed_point
+    (the integer-exact Lloyd's, k=8, 3 iterations) supplies the cluster
+    assignment, similarity.semantic_pairs_within scores within-cluster
+    cosine pairs — the full Abbas et al. pipeline (cluster the
+    embedding space, then near-dup only inside a cluster) with no
+    given-centroid shortcut.  The oracle replays the identical three
+    Lloyd iterations as CTEs and then mirrors the double-cast /
+    unit-normalize / single-fold-dot pair pipeline of the
+    semantic_dedup oracle."""
+    from .functions import fan_out
+
+    e = fan_out(_emb(spark, sf_dir))
+    assign = similarity.kmeans_fixed_point(e, k=8, iterations=3)
+    return similarity.semantic_pairs_within(
+        e, assign, thresh_micro=400_000
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source round-trip (sources/warc.py): the documents table is
     serialized into WARC/1.0 response records executor-side (one file
@@ -2965,6 +2984,7 @@ QUERIES = {
     "quality_train": q_quality_train,
     "quality_infer": q_quality_infer,
     "kmeans_assign": q_kmeans_assign,
+    "semantic_dedup_trained": q_semantic_dedup_trained,
     # -- (e) r5 kernel-modified rows jump the queue (policy): the
     # knn_join_lsh probe-ball/Arrow-scoring rewrite touched the
     # similarity kernels both these rows ride ------------------------
@@ -2981,14 +3001,15 @@ QUERIES = {
     "body_length_filter": q_body_length_filter,
     "rlike_filter": q_rlike_filter,
     "text_quality": q_text_quality,
-    "link_truncate": q_link_truncate,
     # ---------------- driver window ends here (50) ------------------
-    # tfidf_topk, sessionize, events_window_stream .. shipping_priority
-    # displaced below the window by the eleven new r5 rows (six
-    # mixed-script + bpe_train_merges + quality_train + quality_infer +
-    # kmeans_assign; new rows enter at birth) and the two
-    # r5-kernel-modified similarity rows; all displaced rows are
-    # r3 hash-green with untouched kernels and head the r6 queue.
+    # link_truncate, tfidf_topk, sessionize, events_window_stream ..
+    # shipping_priority displaced below the window by the thirteen new
+    # r5 rows (six mixed-script + bpe_train_merges + quality_train +
+    # quality_infer + kmeans_assign + semantic_dedup_trained; new rows
+    # enter at birth) and the two r5-kernel-modified similarity rows;
+    # all displaced rows are r3 hash-green with untouched kernels and
+    # head the r6 queue.
+    "link_truncate": q_link_truncate,
     "tfidf_topk": q_tfidf_topk,
     "sessionize": q_sessionize,
     "events_window_stream": q_events_window_stream,
@@ -4678,13 +4699,15 @@ ORACLES["quality_train"] = _quality_train_oracle(64, 4)
 ORACLES["quality_infer"] = _quality_infer_oracle(64, 4)
 
 
-def _kmeans_oracle(
+def _kmeans_oracle_blocks(
     k: int = 8, dims: int = 64, iters: int = 3, scale: int = 1000, two: int = 16
 ) -> str:
-    """Unrolled fixed-point Lloyd's (see q_kmeans_assign).  Floor
-    division over possibly-negative integer sums is spelled with the
-    posmod identity ``(a - ((a % c) + c) % c) // c`` because DuckDB's
-    ``//`` truncates toward zero while Python's floors."""
+    """Unrolled fixed-point Lloyd's CTE chain (see q_kmeans_assign) —
+    shared by the kmeans_assign and semantic_dedup_trained oracles; the
+    final assignment CTE is ``a{iters}``.  Floor division over
+    possibly-negative integer sums is spelled with the posmod identity
+    ``(a - ((a % c) + c) % c) // c`` because DuckDB's ``//`` truncates
+    toward zero while Python's floors."""
     parts = [
         f"""pts as (
   select vec_id, cast(t.d as int) as d,
@@ -4716,14 +4739,54 @@ c{t} as (
               // count(*) as bigint) as m
   from a{t} a join pts p using (vec_id) group by a.cluster, p.d
 )""")
+    return "".join(parts)
+
+
+def _kmeans_oracle(
+    k: int = 8, dims: int = 64, iters: int = 3, scale: int = 1000, two: int = 16
+) -> str:
     return (
         "with "
-        + "".join(parts)
+        + _kmeans_oracle_blocks(k, dims, iters, scale, two)
         + f"\nselect vec_id, cast(cluster as int) as cluster from a{iters}"
     )
 
 
+def _semantic_dedup_trained_oracle(
+    k: int = 8, dims: int = 64, iters: int = 3, thresh: int = 400_000
+) -> str:
+    """kmeans-oracle replay for the clusters, then the SAME float pair
+    pipeline as the semantic_dedup oracle (double-cast, unit-normalize,
+    single left-fold dot per pair)."""
+    return (
+        "with "
+        + _kmeans_oracle_blocks(k, dims, iters)
+        + f""",
+embd as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+), nrm2 as (
+  select vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) as n
+  from embd
+), unitv as (
+  select vec_id, list_transform(v, x -> x / n) as v from nrm2
+), au as (
+  select u.vec_id, u.v, cast(a.cluster as bigint) as cl
+  from unitv u join a{iters} a using (vec_id)
+), pairs as (
+  select a.cl as cluster, a.vec_id as id_a, b.vec_id as id_b,
+         cast(floor(list_sum(list_transform(list_zip(a.v, b.v),
+                p -> p[1] * p[2])) * 1000000) as bigint) as cos_micro
+  from au a join au b
+    on a.cl = b.cl and a.vec_id < b.vec_id
+)
+select * from pairs where cos_micro >= {thresh}"""
+    )
+
+
 ORACLES["kmeans_assign"] = _kmeans_oracle(8, 64, 3)
+ORACLES["semantic_dedup_trained"] = _semantic_dedup_trained_oracle(8, 64, 3)
 
 ORACLES["mojibake_detect"] = f"""
     with t as (

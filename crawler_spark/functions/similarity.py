@@ -751,3 +751,60 @@ def kmeans_fixed_point(
             nxt[int(r.cluster)][int(r.d)] = (two * int(r.s)) // int(r.c)
         cents = nxt
     raise AssertionError("unreachable: iterations >= 1")
+
+
+def semantic_pairs_within(
+    emb: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    thresh_micro: int = 400_000,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs from an EXTERNAL cluster
+    assignment — the pair half of SemDeDup decoupled from how the
+    clusters were made, so the trained path (kmeans_fixed_point) and
+    the given-centroid path (semantic_dedup_pairs) share one pair
+    semantics.  ``assigned`` is any ``(id_col, cluster_col)`` frame.
+
+    Emits ``(cluster, id_a, id_b, cos_micro)`` for within-cluster pairs
+    with cosine >= thresh (id_a < id_b).  Vectors are double-cast and
+    unit-normalized ONCE (same staged projection and single-fold dot as
+    semantic_dedup_pairs — float32 accumulation differs at 1 ulp across
+    engines, double accumulation is bit-identical).
+
+    Scale shape: the pair join shuffles on the cluster key, so each
+    task scores one cluster's bounded membership; the assignment join
+    is id-keyed (or broadcast when the assignment frame is slim).  Same
+    mega-cluster caveat as semantic_dedup_pairs: cap cluster size
+    upstream or raise K.
+    """
+    staged = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn("__nrm", norm(F.col("__v")))
+    emb_u = staged.select(
+        F.col(id_col),
+        F.transform("__v", lambda x: x / F.col("__nrm")).alias("__vu"),
+    )
+    au = assigned.select(
+        F.col(id_col), F.col(cluster_col).cast("long").alias("__cl")
+    ).join(emb_u, id_col)
+    a, b = au.alias("a"), au.alias("b")
+    pair_cos = F.floor(
+        dot(F.col("a.__vu"), F.col("b.__vu")) * 1_000_000
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.__cl") == F.col("b.__cl"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.__cl").alias("cluster"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            pair_cos.alias("cos_micro"),
+        )
+        .where(F.col("cos_micro") >= thresh_micro)
+    )
