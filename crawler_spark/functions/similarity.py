@@ -775,10 +775,18 @@ def semantic_pairs_within(
 
     Scale shape: the pair join shuffles on the cluster key, so each
     task scores one cluster's bounded membership; the assignment join
-    is id-keyed (or broadcast when the assignment frame is slim).  Same
+    is id-keyed (or broadcast when the assignment frame is slim).  The
+    joined (id, cluster, unit-vector) frame is PERSISTED (bounded slot,
+    MEMORY_AND_DISK) before the self-join — both pair sides would
+    otherwise re-evaluate the assignment expression and the
+    normalization fold per row (measured 7-11s -> 4.7s at sf0.1 with a
+    kmeans-literal assignment; the footprint is the same n x d the join
+    streams anyway, and disk-spill covers the 100-TB case).  Same
     mega-cluster caveat as semantic_dedup_pairs: cap cluster size
     upstream or raise K.
     """
+    from . import dedup as _dedup
+
     staged = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
@@ -790,6 +798,7 @@ def semantic_pairs_within(
     au = assigned.select(
         F.col(id_col), F.col(cluster_col).cast("long").alias("__cl")
     ).join(emb_u, id_col)
+    au = _dedup._probe_persist(au, "semantic_pairs_au")
     a, b = au.alias("a"), au.alias("b")
     pair_cos = F.floor(
         dot(F.col("a.__vu"), F.col("b.__vu")) * 1_000_000
