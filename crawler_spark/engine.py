@@ -820,7 +820,16 @@ def run_crawl(
     cat: Catalog,
     cfg: CrawlConfig,
     do_resume: bool = False,
+    round_hook=None,
 ) -> dict:
+    """Crawl loop.  ``round_hook(spark, cat, state) -> None``, when
+    given, runs before EVERY scheduling round — the composition seam
+    for frontier policies that live outside the reference's semantics
+    (focused-crawl rescoring, recrawl priorities, reputation demotion):
+    the hook reads catalog tables and commits an updated
+    ``frontier_pending``; the round then schedules from what it finds.
+    Default None = the reference-equivalent loop, bit-identical
+    (equivalence suite runs hookless)."""
     if do_resume:
         state = resume(cat)
     else:
@@ -870,6 +879,8 @@ def run_crawl(
         else:
             robots_small = n_robots <= cfg.broadcast_max_rows
     while not state["finished"] and state["round"] < cfg.max_rounds:
+        if round_hook is not None:
+            round_hook(spark, cat, state)
         state = run_round(
             spark, cat, cfg, state, pages_prepared, robots_df, cuckoo, bloom,
             robots_small=robots_small,
