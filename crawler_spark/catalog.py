@@ -144,12 +144,17 @@ class Catalog:
             # (buckets=None) may change the modulus — they rewrite
             # everything.
             cur = self.bucket_count(table)
-            if cur is not None and cur != n_buckets:
+            if cur != n_buckets:
+                # includes cur None (live state not bucket-owned, e.g.
+                # after a plain overwrite): a partial commit would leave
+                # the overwrite snapshot's rows live ALONGSIDE the new
+                # bucket rows — stale duplicates for every row of a
+                # committed bucket.  Reset first.
                 raise ValueError(
                     f"commit_buckets({table!r}): partial commit with "
-                    f"n_buckets={n_buckets} but the table is bucketed by "
-                    f"{cur}; issue a reset commit (buckets=None) to "
-                    "change the modulus"
+                    f"n_buckets={n_buckets} but the table's live bucket "
+                    f"state is {cur}; issue a reset commit "
+                    "(buckets=None) first"
                 )
         snap_id = (manifest[-1]["id"] + 1) if manifest else 1
         rel = f"snap-{snap_id:06d}"

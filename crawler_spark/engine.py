@@ -403,6 +403,38 @@ def resume(cat: Catalog) -> dict:
             cat.drop(table)
     return state
 
+class _BgAction:
+    """One overlapped driver action on a ``pyspark.InheritableThread``.
+
+    Pinned-mode safe concurrency for the round's independent commit
+    actions: the inheritable thread owns a dedicated JVM thread with
+    local properties copied from the parent, so ``setJobDescription``
+    inside the action labels only this action's jobs, and the paired
+    JVM thread / py4j connection are released when ``result`` joins —
+    a plain ``ThreadPoolExecutor`` thread leaks both until garbage
+    collection and, with ``PYSPARK_PIN_THREAD=false``, races the main
+    thread's job description."""
+
+    def __init__(self, fn):
+        from pyspark import InheritableThread
+
+        self._out: dict = {}
+
+        def run():
+            try:
+                self._out["value"] = fn()
+            except BaseException as e:  # re-raised at result()
+                self._out["error"] = e
+
+        self._t = InheritableThread(target=run)
+        self._t.start()
+
+    def result(self):
+        self._t.join()
+        if "error" in self._out:
+            raise self._out["error"]
+        return self._out.get("value")
+
 
 def run_round(
     spark: SparkSession,
@@ -634,101 +666,107 @@ def run_round(
     # cand caches, never on each other, so the driver runs the actions
     # CONCURRENTLY instead of paying their planning + job walls in
     # sequence (r5 scaling decomposition: the per-round serial action
-    # chain, not executor work, was the 8->32 ceiling).  PySpark pins
-    # each Python thread to its own JVM thread (PYSPARK_PIN_THREAD
-    # default), so job descriptions and scheduler state stay per-action.
-    # Each writes a DIFFERENT table; the state checkpoint (the atomic
-    # commit barrier) still happens strictly after all of them.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # chain, not executor work, was the 8->32 ceiling).  Each action
+    # runs on a pyspark.InheritableThread: in pinned mode (the
+    # PYSPARK_PIN_THREAD default) each gets its OWN JVM thread with
+    # copied local properties, so job descriptions set inside never
+    # race the main thread's, and the paired JVM thread + py4j
+    # connection are released deterministically at join (plain pool
+    # threads leak them until Python GC — PySpark documents
+    # InheritableThread as required for exactly this).  Each writes a
+    # DIFFERENT table; the state checkpoint (the atomic commit
+    # barrier) still happens strictly after all of them.
     n_deferred = -1
-    with ThreadPoolExecutor(max_workers=3, thread_name_prefix="commitpool") as _pool:
-        _f_results = _pool.submit(commit, items, "results")
-        _f_failures = _pool.submit(commit, parked, "failures")
-        # rank_by_budget PARTITIONS cand into scheduled/deferred, so the
-        # deferred size is arithmetic over counts already paid for — a
-        # deferred.count() here re-ran the two-phase rank windows a
-        # second time every round (r4 profile: ~0.5s/round)
-        _f_ndef = _pool.submit(lambda: cand.count() - n_scheduled)
-        # assign_seq in the main thread: it is eager (offsets collect)
-        # and the next section needs its output.
-        # ---- discovery delta: one explode over the parsed cache covers
-        # all LinkRule branches (rule constants ride the rows); seq
-        # assignment children-then-retries per the deterministic-core
-        # contract (SURVEY.md §7 hard part 1).
-        children = children_from_parsed(ok, _max_depth_col(cfg.tasks), round_no)
-        noseq = [c for c in FRONTIER_COLS if c != "seq"]
-        new_rows = (
-            children.select(*noseq).withColumn("_retry", F.lit(0))
-            .unionByName(retries.select(*noseq).withColumn("_retry", F.lit(1)))
-        )
-        _t = time.time()
-        spark.sparkContext.setJobDescription(f"crawl r{round_no}: assign_seq")
-        new_rows, n_new = assign_seq(
-            new_rows, ["_retry", "parent_seq", "link_pos"],
-            start_seq=state["max_seq"] + 1,
-        )
-        new_rows = new_rows.select(*FRONTIER_COLS).persist()
-        seq_wall = time.time() - _t  # eager: offsets collect runs the pipeline
+    _f_results = _BgAction(lambda: commit(items, "results"))
+    _f_failures = _BgAction(lambda: commit(parked, "failures"))
+    # rank_by_budget PARTITIONS cand into scheduled/deferred, so the
+    # deferred size is arithmetic over counts already paid for — a
+    # deferred.count() here re-ran the two-phase rank windows a
+    # second time every round (r4 profile: ~0.5s/round)
+    _f_ndef = _BgAction(lambda: cand.count() - n_scheduled)
+    # assign_seq in the main thread: it is eager (offsets collect)
+    # and the next section needs its output.
+    # ---- discovery delta: one explode over the parsed cache covers
+    # all LinkRule branches (rule constants ride the rows); seq
+    # assignment children-then-retries per the deterministic-core
+    # contract (SURVEY.md §7 hard part 1).
+    children = children_from_parsed(ok, _max_depth_col(cfg.tasks), round_no)
+    noseq = [c for c in FRONTIER_COLS if c != "seq"]
+    new_rows = (
+        children.select(*noseq).withColumn("_retry", F.lit(0))
+        .unionByName(retries.select(*noseq).withColumn("_retry", F.lit(1)))
+    )
+    _t = time.time()
+    spark.sparkContext.setJobDescription(f"crawl r{round_no}: assign_seq")
+    new_rows, n_new = assign_seq(
+        new_rows, ["_retry", "parent_seq", "link_pos"],
+        start_seq=state["max_seq"] + 1,
+    )
+    new_rows = new_rows.select(*FRONTIER_COLS).persist()
+    seq_wall = time.time() - _t  # eager: offsets collect runs the pipeline
 
-        # ---- frontier delta-commit, still inside the pool scope so the
-        # bucket rewrite (the round's second-largest action) overlaps the
-        # results/failures commits and the deferred count.  Rewrite ONLY
-        # dirty buckets: a bucket is dirty iff it lost rows (something
-        # scheduled from it) or gained rows (children/retries landed in
-        # it); its new contents are the deferred + new rows of that
-        # bucket.  Clean buckets are untouched on disk — they may retain
-        # rows that this round's deterministic filters dropped
-        # (depth-exceeded, now-seen, in-round dup copies, robots): every
-        # one of those is re-dropped identically next round, so the
-        # *live* frontier (what can ever be scheduled) is exactly
-        # deferred ∪ new, the same set the old full overwrite wrote.
-        # Liveness counters therefore come from deferred/new, never from
-        # table row counts.
-        B = cfg.frontier_buckets
-        _bcol = F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
-        _t = time.time()
-        compact = bool(
-            cfg.frontier_compact_every
-            and round_no % cfg.frontier_compact_every == 0
-        )
-        # a resumed crawl may carry a different frontier_buckets than the
-        # table on disk; a partial commit under the new modulus would
-        # orphan rows owned under the old one, so force a reset commit
-        if cat.bucket_count("frontier_pending") not in (None, B):
-            compact = True
-        spark.sparkContext.setJobDescription(
-            f"crawl r{round_no}: frontier delta (dirty scan + count + commit)"
-        )
-        dirty = sorted(
-            r.b
-            for r in scheduled.select(_bcol.alias("b"))
-            .unionByName(new_rows.select(_bcol.alias("b")))
-            .distinct()
-            .collect()
-        )
-        if compact:
-            # full rewrite of the live set: flushes clean buckets' dead rows
-            snaps["frontier_pending"], rows["frontier_pending"] = (
-                cat.commit_buckets(
-                    deferred.unionByName(new_rows),
-                    "frontier_pending", "url_hash", B,
-                )
+    # ---- frontier delta-commit, still inside the pool scope so the
+    # bucket rewrite (the round's second-largest action) overlaps the
+    # results/failures commits and the deferred count.  Rewrite ONLY
+    # dirty buckets: a bucket is dirty iff it lost rows (something
+    # scheduled from it) or gained rows (children/retries landed in
+    # it); its new contents are the deferred + new rows of that
+    # bucket.  Clean buckets are untouched on disk — they may retain
+    # rows that this round's deterministic filters dropped
+    # (depth-exceeded, now-seen, in-round dup copies, robots): every
+    # one of those is re-dropped identically next round, so the
+    # *live* frontier (what can ever be scheduled) is exactly
+    # deferred ∪ new, the same set the old full overwrite wrote.
+    # Liveness counters therefore come from deferred/new, never from
+    # table row counts.
+    B = cfg.frontier_buckets
+    _bcol = F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
+    _t = time.time()
+    compact = bool(
+        cfg.frontier_compact_every
+        and round_no % cfg.frontier_compact_every == 0
+    )
+    # a resumed crawl may carry a different frontier_buckets than the
+    # table on disk (partial commit under the new modulus would orphan
+    # rows owned under the old one), and a hook/operator may have
+    # rewritten the frontier with a plain overwrite (no live bucket
+    # state — partial commits are rejected by both catalog backends):
+    # either way, force a reset commit this round
+    if cat.bucket_count("frontier_pending") != B:
+        compact = True
+    spark.sparkContext.setJobDescription(
+        f"crawl r{round_no}: frontier delta (dirty scan + count + commit)"
+    )
+    dirty = sorted(
+        r.b
+        for r in scheduled.select(_bcol.alias("b"))
+        .unionByName(new_rows.select(_bcol.alias("b")))
+        .distinct()
+        .collect()
+    )
+    if compact:
+        # full rewrite of the live set: flushes clean buckets' dead rows
+        snaps["frontier_pending"], rows["frontier_pending"] = (
+            cat.commit_buckets(
+                deferred.unionByName(new_rows),
+                "frontier_pending", "url_hash", B,
             )
-        elif dirty:
-            delta = deferred.unionByName(new_rows).where(_bcol.isin(dirty))
-            snaps["frontier_pending"], rows["frontier_pending"] = (
-                cat.commit_buckets(
-                    delta, "frontier_pending", "url_hash", B, buckets=dirty
-                )
+        )
+    elif dirty:
+        delta = deferred.unionByName(new_rows).where(_bcol.isin(dirty))
+        snaps["frontier_pending"], rows["frontier_pending"] = (
+            cat.commit_buckets(
+                delta, "frontier_pending", "url_hash", B, buckets=dirty
             )
-        spark.sparkContext.setJobDescription(None)
-        stage_wall["frontier_pending"] = time.time() - _t
-        # pool exit re-raises the first failure, so no commit can be
-        # silently lost before the checkpoint barrier
-        n_deferred = _f_ndef.result()
-        _f_results.result()
-        _f_failures.result()
+        )
+    spark.sparkContext.setJobDescription(None)
+    stage_wall["frontier_pending"] = time.time() - _t
+    # the joins below re-raise the first failure, so no commit can be
+    # silently lost before the checkpoint barrier (BaseException is
+    # captured thread-side and re-thrown here — nothing is swallowed)
+    n_deferred = _f_ndef.result()
+    _f_results.result()
+    _f_failures.result()
     n_items = rows["results"]
     n_parked = rows["failures"]
     n_pending = n_deferred + n_new

@@ -4617,9 +4617,9 @@ def _perceptron_oracle_blocks(
     y * margin <= 0, bucket delta, weight update, misclassified count
     — all integer arithmetic, so every epoch's weight vector must
     match the Spark trajectory exactly."""
-    stop = ", ".join(f"'{s}'" for s in (
-        "the", "and", "of", "to", "a", "in", "is", "for", "on", "it",
-    ))
+    # the ONE label lexicon, shared with the Spark kernel — a drifted
+    # copy here would train the oracle on different labels
+    stop = ", ".join(f"'{s}'" for s in textops.PERCEPTRON_STOPWORDS)
     blocks = [f"""t0 as (
   select doc_id as doc,
          list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),

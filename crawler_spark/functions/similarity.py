@@ -693,14 +693,26 @@ def kmeans_fixed_point(
     this extends its rule-scored frontier semantics (rule.go:50 class
     of deterministic integer scoring) to embedding space.
     """
+    from . import dedup as _dedup
+
     two = 1 << cshift
-    pts = emb.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
-        ).alias("xq"),
-    ).persist()
+    # bounded persist SLOT, not a raw persist: the returned assignment
+    # plan is LAZY and still reads pts when the caller materializes it —
+    # an unpersist here would silently drop the cache before first use
+    # and re-quantize the corpus per consumer.  The slot keeps exactly
+    # one pts frame live module-wide; bench's cold protocol clears it.
+    pts = _dedup._probe_persist(
+        emb.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(scale))
+                ).cast("long"),
+            ).alias("xq"),
+        ),
+        "kmeans_pts",
+    )
 
     # init: k lowest-id vectors, centroid grid = 2**cshift * xq
     seed_rows = (
@@ -734,8 +746,7 @@ def kmeans_fixed_point(
     for it in range(iterations):
         assigned = _assign(cents)
         if it == iterations - 1:
-            pts.unpersist()
-            return assigned
+            return assigned  # pts stays in its slot: the plan is lazy
         sums = (
             assigned.join(pts, id_col)
             .select("cluster", F.posexplode("xq").alias("d", "v"))

@@ -133,7 +133,10 @@ class IcebergCatalog:
         if not rows:
             return 0
         summary = rows[0][0]
-        return int(summary.get("added-records", summary.get("total-records", 0)))
+        # delete-only commits (a partial bucket overwrite that only
+        # emptied buckets) have no 'added-records'; falling back to
+        # 'total-records' would report the WHOLE table as written
+        return int(summary.get("added-records", 0))
 
     # ------------------------------------------------------------ writes
     def exists(self, table: str) -> bool:
@@ -179,18 +182,25 @@ class IcebergCatalog:
     ) -> tuple[int, int]:
         ident = self._ident(table)
         cur = self.bucket_count(table)
-        if buckets is not None and cur is not None and cur != n_buckets:
+        if buckets is not None and cur != n_buckets:
+            # cur is None: the live state is NOT bucket-owned (plain
+            # overwrite or fresh table) — a partial commit here would
+            # createOrReplace below and silently DROP every clean
+            # bucket's rows (and the shim would instead keep stale
+            # rows); both are wrong, so partial commits require live
+            # bucket state at the same modulus.
             raise ValueError(
                 f"commit_buckets({table!r}): partial commit with "
-                f"n_buckets={n_buckets} but the table is bucketed by "
-                f"{cur}; issue a reset commit (buckets=None) to change "
-                "the modulus"
+                f"n_buckets={n_buckets} but the table's live bucket "
+                f"state is {cur}; issue a reset commit (buckets=None) "
+                "first"
             )
         dfw = df.withColumn(
             "_bucket", F.pmod(F.col(bucket_col), F.lit(n_buckets)).cast("int")
         )
-        if buckets is None or cur is None:
+        if buckets is None:
             # reset: recreate the table partitioned by the bucket column
+            # (a partial commit with cur None was rejected above)
             dfw.writeTo(ident).using("iceberg").partitionedBy(
                 F.col("_bucket")
             ).createOrReplace()

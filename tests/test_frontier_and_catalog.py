@@ -93,9 +93,18 @@ def test_commit_buckets_rejects_modulus_mismatch(spark, tmp_path):
     cat = Catalog(str(tmp_path / "wh"))
     cat.commit_buckets(spark.range(16).withColumnRenamed("id", "k"), "t", "k", 8)
     assert cat.bucket_count("t") == 8
-    with pytest.raises(ValueError, match="bucketed by 8"):
+    with pytest.raises(ValueError, match="live bucket state is 8"):
         cat.commit_buckets(
             spark.createDataFrame([(0,)], "k long"), "t", "k", 16, buckets=[0]
+        )
+    # r5 review: a partial commit over NON-bucket-owned live state (plain
+    # overwrite) must also raise — the old rows would stay live alongside
+    # the bucket rows as stale duplicates
+    cat.write(spark.range(4).withColumnRenamed("id", "k"), "t", "overwrite")
+    assert cat.bucket_count("t") is None
+    with pytest.raises(ValueError, match="live bucket state is None"):
+        cat.commit_buckets(
+            spark.createDataFrame([(0,)], "k long"), "t", "k", 8, buckets=[0]
         )
     # reset commit rewrites everything: modulus change allowed
     cat.commit_buckets(spark.range(16).withColumnRenamed("id", "k"), "t", "k", 16)
