@@ -2936,6 +2936,58 @@ def q_scrub_apply_mixed(spark, sf_dir):
     )
 
 
+
+def q_hits_scores(spark, sf_dir):
+    """Hub/authority split of the host link graph (graph.hits_micro,
+    2 iterations): the same deterministic 97-node two-out-edges-per-doc
+    graph as host_rank, so PageRank and HITS are directly comparable
+    crawl-priority signals over one synthesis.  The DuckDB oracle
+    unrolls both half-steps of both iterations — in-edge hub sums,
+    max-normalization (the bounded scalar the kernel folds back as a
+    literal), out-edge auth sums — as chained CTEs, so the hash match
+    verifies the whole iterative fixed point, not just one step."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 97).alias("dst"),
+    )
+    return graph.hits_micro(e1.union(e2), iterations=2).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hub_micro").cast("long").alias("hub_micro"),
+        F.col("auth_micro").cast("long").alias("auth_micro"),
+    )
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Tokenizer-pipeline phrase mining (textops.pmi_collocations):
+    ' strong coffee' is planted on doc_id%7==0 and ' strong winds' on
+    doc_id%11==0 (the oracle replays both CASEs), giving the lift chart
+    a shared-head pair family whose cnt1 is split across two tails,
+    while the word-soup base supplies high-frequency low-lift mass that
+    PMI must rank BELOW the planted pairs.  min_count=5 prunes the Zipf
+    tail before any join; the oracle replays the tokenization, both
+    fixed-point floors, and the total-order top-20."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    taint = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" strong coffee")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" strong winds")).otherwise(
+            F.lit("")
+        ),
+    )
+    return textops.pmi_collocations(
+        d.select(taint.alias("text")), min_count=5, k=20
+    )
+
+
 QUERIES = {
     # ================= r5 driver window (first 50) ===================
     # Rotation executed per SURVEY.md "Round-5 rotation plan" and
@@ -2999,9 +3051,14 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "link_explode": q_link_explode,
     "body_length_filter": q_body_length_filter,
+    # -- NEW mid-r5 (enter the window at birth, per policy): HITS and
+    # PMI collocations displace rlike_filter, text_quality (both
+    # r3-green) to the r6 queue ---------------------------------------
+    "hits_scores": q_hits_scores,
+    "pmi_collocations": q_pmi_collocations,
+    # ---------------- driver window ends here (50) ------------------
     "rlike_filter": q_rlike_filter,
     "text_quality": q_text_quality,
-    # ---------------- driver window ends here (50) ------------------
     # link_truncate, tfidf_topk, sessionize, events_window_stream ..
     # shipping_priority displaced below the window by the thirteen new
     # r5 rows (six mixed-script + bpe_train_merges + quality_train +
@@ -4787,6 +4844,113 @@ select * from pairs where cos_micro >= {thresh}"""
 
 ORACLES["kmeans_assign"] = _kmeans_oracle(8, 64, 3)
 ORACLES["semantic_dedup_trained"] = _semantic_dedup_trained_oracle(8, 64, 3)
+
+# HITS: both iterations unrolled as CTE chains — each half-step is an
+# in/out-edge sum, a one-row max, and an integer floor max-normalization,
+# exactly the kernel's arithmetic (graph.hits_micro).
+ORACLES["hits_scores"] = """
+    with edges as (
+      select distinct src, dst from (
+        select doc_id % 97 as src, (doc_id * 31 + 7) % 97 as dst
+        from documents
+        union all
+        select doc_id % 97, (doc_id * 17 + 3) % 97 from documents
+      )
+    ), nodes as (
+      select src as node from edges union select dst from edges
+    ), h0 as (
+      select node, cast(1000000 as bigint) as hub from nodes
+    ), a1raw as (
+      select n.node,
+             cast(coalesce(s.s, 0) as bigint) as s
+      from nodes n left join (
+        select e.dst as node, sum(h.hub) as s
+        from edges e join h0 h on h.node = e.src group by 1
+      ) s using (node)
+    ), a1m as (select greatest(max(s), 1) as mx from a1raw
+    ), a1 as (
+      select node, cast(floor(s * 1000000 / mx) as bigint) as auth
+      from a1raw, a1m
+    ), h1raw as (
+      select n.node,
+             cast(coalesce(s.s, 0) as bigint) as s
+      from nodes n left join (
+        select e.src as node, sum(a.auth) as s
+        from edges e join a1 a on a.node = e.dst group by 1
+      ) s using (node)
+    ), h1m as (select greatest(max(s), 1) as mx from h1raw
+    ), h1 as (
+      select node, cast(floor(s * 1000000 / mx) as bigint) as hub
+      from h1raw, h1m
+    ), a2raw as (
+      select n.node,
+             cast(coalesce(s.s, 0) as bigint) as s
+      from nodes n left join (
+        select e.dst as node, sum(h.hub) as s
+        from edges e join h1 h on h.node = e.src group by 1
+      ) s using (node)
+    ), a2m as (select greatest(max(s), 1) as mx from a2raw
+    ), a2 as (
+      select node, cast(floor(s * 1000000 / mx) as bigint) as auth
+      from a2raw, a2m
+    ), h2raw as (
+      select n.node,
+             cast(coalesce(s.s, 0) as bigint) as s
+      from nodes n left join (
+        select e.src as node, sum(a.auth) as s
+        from edges e join a2 a on a.node = e.dst group by 1
+      ) s using (node)
+    ), h2m as (select greatest(max(s), 1) as mx from h2raw
+    ), h2 as (
+      select node, cast(floor(s * 1000000 / mx) as bigint) as hub
+      from h2raw, h2m
+    )
+    select cast(n.node as bigint) as node,
+           h2.hub as hub_micro,
+           a2.auth as auth_micro
+    from nodes n join h2 using (node) join a2 using (node)
+"""
+
+# PMI collocations: replays the taint CASEs, the [a-z]+ tokenization,
+# both fixed-point floors and the (lift desc, pair desc, w1, w2) top-20.
+ORACLES["pmi_collocations"] = """
+    with base as (
+      select text
+             || case when doc_id % 7 = 0 then ' strong coffee' else '' end
+             || case when doc_id % 11 = 0 then ' strong winds' else '' end
+               as text
+      from documents
+    ), toks as (
+      select list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') as t
+      from base
+    ), big as (
+      select t[i] as w1, t[i + 1] as w2
+      from toks, unnest(generate_series(1, len(t) - 1)) as u(i)
+      where len(t) >= 2
+    ), uni as (
+      select w, cast(count(*) as bigint) as cnt
+      from (select unnest(t) as w from toks) group by 1
+    ), tot as (
+      select cast(sum(cnt) as bigint) as n_tokens from uni
+    ), c2 as (
+      select w1, w2, cast(count(*) as bigint) as pair_cnt
+      from big group by 1, 2 having count(*) >= 5
+    ), scored as (
+      select c2.w1, c2.w2, c2.pair_cnt, u1.cnt as cnt1, u2.cnt as cnt2,
+             cast(floor(cast(floor(c2.pair_cnt * 1000000 / u1.cnt) as bigint)
+                        * t.n_tokens / u2.cnt) as bigint) as lift_ppm
+      from c2 join uni u1 on u1.w = c2.w1
+              join uni u2 on u2.w = c2.w2, tot t
+    ), ranked as (
+      select *,
+             cast(row_number() over (
+               order by lift_ppm desc, pair_cnt desc, w1, w2) as int) as rank
+      from scored
+    )
+    select w1, w2, pair_cnt, cnt1, cnt2, lift_ppm, rank
+    from ranked where rank <= 20
+"""
 
 ORACLES["mojibake_detect"] = f"""
     with t as (

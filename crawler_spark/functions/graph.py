@@ -322,3 +322,85 @@ def link_spam_stats(
             & (F.col("outdeg") >= min_outdeg),
         )
     )
+
+
+def hits_micro(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Kleinberg HITS hubs/authorities over ``edges (src, dst)``,
+    integer fixed-point.  Returns ``(node, hub_micro, auth_micro)`` for
+    every node appearing as src or dst.
+
+    Complements ``pagerank_micro`` for crawl prioritization: PageRank
+    finds endorsed hosts; HITS separates *directories* (hubs — pages
+    whose outlinks point at good content, e.g. sitemap/portal hosts a
+    crawler should revisit for discovery) from *content* (authorities —
+    hosts good hubs point at, which deserve fetch budget).  The
+    reference's static rule priorities (rule.go:50) are the degenerate
+    one-hop case.
+
+    Per iteration, in integers only (micro units, 1e6 = 1.0):
+
+        a_sum(n)  = sum(hub(src) over in-edges of n)        [0 if none]
+        auth(n)   = floor(a_sum(n) * 1e6 / max(a_sum))
+        h_sum(n)  = sum(auth(dst) over out-edges of n)      [0 if none]
+        hub(n)    = floor(h_sum(n) * 1e6 / max(h_sum))
+
+    Max-normalization (not L2) keeps every step exact integer floor
+    arithmetic, so the iterative computation is bit-identical across
+    engines/partitionings and the DuckDB oracle can unroll it as CTEs.
+    The two per-iteration maxima are bounded driver scalars (one row
+    each — the kmeans/perceptron bounded-model-state discipline) folded
+    back into the plan as literals.  Magnitude domain: sums stay exact
+    through the float floor while max_sum * 1e6 < 2**53 (~9e9 micro
+    mass), the same micro-unit domain every fixed-point kernel in this
+    package documents; beyond that, swap the two floors to decimal(38).
+
+    Scale shape: per half-step one join keyed on node (AQE handles
+    hot-host in-degree skew) + one map-side-combined sum; the node and
+    edge sets are never collected.  The two frames persisted per
+    iteration are node-sized; superseded ones are released eagerly.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _half(mass: DataFrame, mass_col: str, key: str, out: str) -> DataFrame:
+        # mass joined onto edges at `key` endpoint, summed at the other
+        other = "dst" if key == "src" else "src"
+        sums = (
+            e.join(mass.withColumnRenamed("node", key), key)
+            .groupBy(F.col(other).alias("node"))
+            .agg(F.sum(mass_col).alias("s"))
+        )
+        raw = nodes.join(sums, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
+        ).persist()
+        mx = raw.agg(F.max("s")).first()[0] or 0  # bounded: one scalar
+        return raw.select(
+            "node",
+            F.floor(F.col("s") * F.lit(BASE_MICRO) / F.lit(max(mx, 1)))
+            .cast("long")
+            .alias(out),
+        ), raw
+
+    hub = nodes.select("node", F.lit(BASE_MICRO).cast("long").alias("hub_micro"))
+    auth = None
+    kept: list[DataFrame] = []
+    for _ in range(iterations):
+        auth, raw_a = _half(hub, "hub_micro", "src", "auth_micro")
+        hub, raw_h = _half(auth, "auth_micro", "dst", "hub_micro")
+        for old in kept:  # superseded iteration's raw frames
+            old.unpersist()
+        kept = [raw_a, raw_h]
+    out = auth.join(hub, "node").select("node", "hub_micro", "auth_micro")
+    return out

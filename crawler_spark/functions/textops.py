@@ -2738,3 +2738,95 @@ def schema_types(
         og.alias("og_type"),
         cls.alias("content_class"),
     )
+
+
+# ------------------------------------------------- PMI collocation mining
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI lift, integer-exact —
+    the phrase-mining pass a tokenizer/vocab pipeline runs to decide
+    which word pairs deserve merged tokens (the statistic behind
+    word2vec's phrase pass and BPE-adjacent phrase tables).
+
+    Tokens are lowercased ``[a-z]+`` runs (the package's text-analysis
+    norm).  For each adjacent pair with corpus count >= ``min_count``:
+
+        cond_ppm = floor(1e6 * c(w1,w2) / c(w1))        -- p(w2|w1) ppm
+        lift_ppm = floor(cond_ppm * N / c(w2))          -- PMI lift
+
+    where N = total token count.  lift_ppm ~ 1e6 * p(w1,w2)/(p(w1)p(w2))
+    up to the inner quantization — both engines replay the SAME two
+    floors, so the value (not just the ranking) is engine-portable.
+    exp(PMI) is monotone in lift, so top-k by lift IS top-k by PMI.
+    Returns ``(w1, w2, pair_cnt, cnt1, cnt2, lift_ppm, rank)`` under the
+    total order (lift_ppm desc, pair_cnt desc, w1, w2).
+
+    Scale shape: bigrams are built JVM-side inside the scan (arrays_zip
+    over slice — zero shuffle, no Python); one (w1,w2) shuffle with
+    map-side partial counts, where ``min_count`` prunes the Zipf hapax
+    tail BEFORE any join; one vocab-keyed count; two joins keyed on
+    single words (stopword heads are the hot keys — AQE skew-join) with
+    the 1-row total broadcast; top-k is a distributed TakeOrdered
+    (orderBy+limit), never a single-partition global sort — the
+    row_number window runs on the k survivors only.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    base = df.select(toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    # n >= 2 guard: slice() rejects negative lengths on token-free rows
+    big = base.where(n >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, n - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_count)
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").cast("long").alias("n_tokens"))
+    scored = (
+        c2.join(uni.select(F.col("w").alias("w1"), F.col("cnt").alias("cnt1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cnt").alias("cnt2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cond_ppm",
+            F.floor(F.col("pair_cnt") * 1_000_000 / F.col("cnt1")).cast("long"),
+        )
+        .withColumn(
+            "lift_ppm",
+            F.floor(F.col("cond_ppm") * F.col("n_tokens") / F.col("cnt2")).cast(
+                "long"
+            ),
+        )
+    )
+    order = [
+        F.col("lift_ppm").desc(),
+        F.col("pair_cnt").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    ]
+    topk = scored.orderBy(*order).limit(k)
+    return topk.select(
+        "w1",
+        "w2",
+        F.col("pair_cnt").cast("long").alias("pair_cnt"),
+        F.col("cnt1").cast("long").alias("cnt1"),
+        F.col("cnt2").cast("long").alias("cnt2"),
+        "lift_ppm",
+        F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank"),
+    )
