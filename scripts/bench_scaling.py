@@ -100,7 +100,11 @@ def main() -> None:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "scaling_last_run.md")
+    # Small smoke corpora must not stomp the adopted full-scale record
+    # (BASELINE.md cites scaling_last_run.md for its raw JSON).
+    name = ("scaling_last_run.md" if args.hosts >= 10_000
+            else f"scaling_smoke_h{args.hosts}.md")
+    md = os.path.join(REPO, "BENCH", name)
     with open(md, "w") as f:
         f.write(render_md(summary, results, lo, hi))
     print(json.dumps(summary))
