@@ -1946,6 +1946,23 @@ def q_bpe_train_merges(spark, sf_dir):
     return textops.bpe_train_merges(d, n_merges=8)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE inference (textops.bpe_encode): train the 8-rule merge
+    list, then encode the whole corpus with it — per-doc word/char/
+    token counts + integer compression ppm.  The fold runs once per
+    DISTINCT word (vocab-bounded, rules as literals); occurrences get
+    their token count via a word-keyed join and one doc aggregate.
+    The oracle chains the train replay's gaps-and-islands blocks into
+    an encode chain over the distinct-word table and joins back the
+    same way, so the hash pins training AND application end-to-end."""
+    d = _docs(spark, sf_dir)
+    rules_df = textops.bpe_train_merges(d.select("text"), n_merges=8)
+    rules = [
+        (r["lhs"], r["rhs"]) for r in rules_df.orderBy("step").collect()
+    ]
+    return textops.bpe_encode(d.select("doc_id", "text"), rules)
+
+
 def q_mojibake_detect(spark, sf_dir):
     """Encoding-quality gate (textops.mojibake_stats): count classic
     UTF-8-as-Latin-1 double-encoding signatures + U+FFFD and flag
@@ -3033,6 +3050,7 @@ QUERIES = {
     "scrub_mixed": q_scrub_mixed,
     "scrub_apply_mixed": q_scrub_apply_mixed,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode": q_bpe_encode,
     "quality_train": q_quality_train,
     "quality_infer": q_quality_infer,
     "kmeans_assign": q_kmeans_assign,
@@ -3050,13 +3068,13 @@ QUERIES = {
     "regex_field_extract": q_regex_field_extract,
     "fingerprint": q_fingerprint,
     "link_explode": q_link_explode,
-    "body_length_filter": q_body_length_filter,
-    # -- NEW mid-r5 (enter the window at birth, per policy): HITS and
-    # PMI collocations displace rlike_filter, text_quality (both
-    # r3-green) to the r6 queue ---------------------------------------
+    # -- NEW mid-r5 (enter the window at birth, per policy): HITS, PMI
+    # collocations and BPE encode displace rlike_filter, text_quality,
+    # body_length_filter (all r3-green) to the r6 queue ---------------
     "hits_scores": q_hits_scores,
     "pmi_collocations": q_pmi_collocations,
     # ---------------- driver window ends here (50) ------------------
+    "body_length_filter": q_body_length_filter,
     "rlike_filter": q_rlike_filter,
     "text_quality": q_text_quality,
     # link_truncate, tfidf_topk, sessionize, events_window_stream ..
@@ -4607,8 +4625,8 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
     order of the Spark-side fold and of a Python BPE trainer); emit
     the merged symbol at selected positions, drop the position after,
     and rebuild the token list ordered by position."""
-    blocks = ["""w0 as (
-  select row_number() over (order by w) as wid, f,
+    blocks = ["""w0 as materialized (
+  select row_number() over (order by w) as wid, w, f,
          list_transform(generate_series(1, length(w)), i -> w[i]) as t
   from (
     select w, cast(count(*) as bigint) as f
@@ -4619,38 +4637,38 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
 )"""]
     for i in range(1, n_merges + 1):
         p = i - 1
-        blocks.append(f"""p{i} as (
+        blocks.append(f"""p{i} as materialized (
   select t[j] as lhs, t[j + 1] as rhs, cast(sum(f) as bigint) as cnt
   from w{p}, unnest(generate_series(1, len(t) - 1)) as u{i}(j)
   where len(t) >= 2
   group by 1, 2
-), b{i} as (
+), b{i} as materialized (
   select lhs, rhs, cnt from p{i} order by cnt desc, lhs, rhs limit 1
-), e{i} as (
+), e{i} as materialized (
   select wid, f, j as pos, t[j] as tok, b.lhs as bl, b.rhs as br
   from w{p}, unnest(generate_series(1, len(t))) as v{i}(j), b{i} as b
-), mk{i} as (
+), mk{i} as materialized (
   select *, coalesce(
     tok = bl and lead(tok) over (partition by wid order by pos) = br,
     false) as mark
   from e{i}
-), il{i} as (
+), il{i} as materialized (
   select *, case when mark
     then pos - row_number() over (partition by wid, mark order by pos)
   end as isl
   from mk{i}
-), sl{i} as (
+), sl{i} as materialized (
   select *, mark and
     ((pos - min(pos) over (partition by wid, isl)) % 2 = 0) as sel
   from il{i}
-), em{i} as (
+), em{i} as materialized (
   select wid, f, pos,
     case when sel then bl || br
          when coalesce(lag(sel) over (partition by wid order by pos), false)
            then null
          else tok end as emit
   from sl{i}
-), w{i} as (
+), w{i} as materialized (
   select wid, any_value(f) as f,
          list(emit order by pos) filter (where emit is not null) as t
   from em{i} group by wid
@@ -4660,10 +4678,47 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
         f" from b{i}"
         for i in range(1, n_merges + 1)
     )
+    _bpe_train_oracle.blocks = blocks  # shared with the encode oracle
     return "with " + ",\n".join(blocks) + "\n" + steps
 
 
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """DuckDB twin of q_bpe_encode: the full train replay (b1..bN from
+    _bpe_train_oracle's chain), whose FINAL vocab table already holds
+    every length>=2 word fully merged — token counts come straight from
+    its list lengths (length-1 words, unmergeable by construction,
+    default to 1 via the left-join coalesce), then the occurrence join
+    + per-doc rollup.  An independent formulation of the Spark side's
+    per-distinct-word literal-rule fold."""
+    _bpe_train_oracle(n_merges)
+    blocks = list(_bpe_train_oracle.blocks)
+    blocks.append(f"""enc as materialized (
+  select w0.w, cast(len(wn.t) as bigint) as n_tok
+  from w{n_merges} wn join w0 using (wid)
+), docw as materialized (
+  select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+  from documents
+), agg as materialized (
+  select doc_id, cast(count(*) as bigint) as n_words,
+         cast(sum(length(w)) as bigint) as n_chars,
+         cast(sum(coalesce(e.n_tok, 1)) as bigint) as n_tokens
+  from docw left join enc e using (w) group by 1
+)""")
+    return (
+        "with " + ",\n".join(blocks) + """
+select d.doc_id,
+       cast(coalesce(a.n_words, 0) as bigint) as n_words,
+       cast(coalesce(a.n_chars, 0) as bigint) as n_chars,
+       cast(coalesce(a.n_tokens, 0) as bigint) as n_tokens,
+       cast(floor(coalesce(a.n_tokens, 0) * 1000000
+                  / greatest(coalesce(a.n_chars, 0), 1)) as bigint)
+         as compression_ppm
+from (select doc_id from documents) d left join agg a using (doc_id)"""
+    )
+
+
 ORACLES["bpe_train_merges"] = _bpe_train_oracle(8)
+ORACLES["bpe_encode"] = _bpe_encode_oracle(8)
 
 
 def _perceptron_oracle_blocks(

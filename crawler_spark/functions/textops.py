@@ -2060,6 +2060,73 @@ aggregate(
 """
 
 
+def bpe_encode(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merge rules to the corpus — the inference half
+    of :func:`bpe_train_merges`, the quality_train/quality_infer
+    pairing: train once, then encode everything.  ``rules`` is the
+    ordered ``(lhs, rhs)`` merge list (bounded model state, collected
+    from the trainer's output — n_merges rows, never corpus-scale).
+    Returns per-doc tokenizer stats:
+    ``(id_col, n_words, n_chars, n_tokens, compression_ppm)`` where
+    ``n_tokens`` counts post-merge symbols over the doc's ``[a-z]+``
+    word runs and ``compression_ppm = floor(1e6 * n_tokens / n_chars)``
+    (1e6 = no merge applied anywhere; lower = better compression).
+
+    Scale shape — encode cost is VOCAB-bounded, not corpus-bounded:
+    the chained merge fold (interpreted HOF lambdas) runs once per
+    DISTINCT word, with the rules baked in as string literals
+    (:func:`_bpe_fold_literal`, same scan semantics as the trainer);
+    occurrences then pick up their token count through a word-keyed
+    join (stopword hot keys -> AQE skew handling) and one
+    map-side-combined doc aggregate.  Folding at every occurrence
+    instead would be zero-shuffle but pay the interpreted fold
+    O(corpus) times — the wrong trade at 10^10 docs, where distinct
+    words grow ~Heaps-law sublinearly."""
+    words = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    fold = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    for lhs, rhs in rules:
+        fold = _bpe_fold_literal(fold, lhs, rhs)
+    enc = (
+        words.where(F.col("w").isNotNull())
+        .select("w")
+        .distinct()
+        .select("w", F.expr(f"cast(size({fold}) as bigint)").alias("n_tok"))
+    )
+    per_doc = (
+        words.join(enc, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("w").cast("long").alias("n_words"),
+            F.coalesce(F.sum(F.length("w")), F.lit(0))
+            .cast("long")
+            .alias("n_chars"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.floor(
+            F.col("n_tokens") * F.lit(1_000_000)
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        )
+        .cast("long")
+        .alias("compression_ppm"),
+    )
+
+
 # ----------------------------------------------- encoding-quality gate
 #: Literal alternation of classic UTF-8-as-Latin-1 double-encoding
 #: signatures plus the replacement char.  Pure literals where no
