@@ -2981,6 +2981,40 @@ def q_hits_scores(spark, sf_dir):
     )
 
 
+def q_label_propagation(spark, sf_dir):
+    """Topic-seed expansion (graph.label_propagation, 2 iterations)
+    over the same 97-node two-family link graph as host_rank /
+    hits_scores: every node ≡ 0 (mod 10) is a clamped seed labeled
+    node%3, so the synthesis exercises multi-label competition, the
+    min-label tie-break, seed clamping against hostile neighborhoods,
+    and (graph permitting) still-unreached nulls.  The oracle unrolls
+    both synchronous iterations as CTEs — vote counts, the
+    (votes desc, label asc) argmax via row_number, the
+    seed/adopted/keep coalesce."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 97).alias("dst"),
+    )
+    seeds = spark.range(0, 97, 10).select(
+        F.col("id").alias("node"), (F.col("id") % 3).alias("label")
+    )
+    return graph.label_propagation(
+        e1.union(e2), seeds, iterations=2
+    ).select(
+        F.col("node").cast("long").alias("node"),
+        # unreached -> -1 sentinel (nullable ints hash as float driver-side)
+        F.coalesce(F.col("label"), F.lit(-1)).cast("long").alias("label"),
+        F.col("is_seed").cast("boolean").alias("is_seed"),
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Tokenizer-pipeline phrase mining (textops.pmi_collocations):
     ' strong coffee' is planted on doc_id%7==0 and ' strong winds' on
@@ -3067,13 +3101,15 @@ QUERIES = {
     "dedup_anti_join": q_dedup_anti_join,
     "regex_field_extract": q_regex_field_extract,
     "fingerprint": q_fingerprint,
-    "link_explode": q_link_explode,
     # -- NEW mid-r5 (enter the window at birth, per policy): HITS, PMI
-    # collocations and BPE encode displace rlike_filter, text_quality,
-    # body_length_filter (all r3-green) to the r6 queue ---------------
+    # collocations, BPE encode and label propagation displace
+    # rlike_filter, text_quality, body_length_filter, link_explode
+    # (all r3-green) to the r6 queue ----------------------------------
     "hits_scores": q_hits_scores,
     "pmi_collocations": q_pmi_collocations,
+    "label_propagation": q_label_propagation,
     # ---------------- driver window ends here (50) ------------------
+    "link_explode": q_link_explode,
     "body_length_filter": q_body_length_filter,
     "rlike_filter": q_rlike_filter,
     "text_quality": q_text_quality,
@@ -5005,6 +5041,64 @@ ORACLES["pmi_collocations"] = """
     )
     select w1, w2, pair_cnt, cnt1, cnt2, lift_ppm, rank
     from ranked where rank <= 20
+"""
+
+# Label propagation: both synchronous iterations unrolled — vote
+# counts over the undirected edge list, (votes desc, label asc)
+# argmax, seed-clamp/adopt/keep coalesce (graph.label_propagation).
+ORACLES["label_propagation"] = """
+    with e0 as materialized (
+      select distinct src as a, dst as b from (
+        select doc_id % 97 as src, (doc_id * 31 + 7) % 97 as dst
+        from documents
+        union all
+        select doc_id % 97, (doc_id * 17 + 3) % 97 from documents
+      ) where src <> dst
+    ), und as materialized (
+      select a, b from e0 union select b, a from e0
+    ), nodes as materialized (
+      select distinct a as node from und
+    ), sd as materialized (
+      select i as node, cast(i % 3 as bigint) as seed_label
+      from generate_series(0, 96, 10) as g(i)
+    ), l0 as materialized (
+      select n.node, s.seed_label as label
+      from nodes n left join sd s using (node)
+    ), v1 as materialized (
+      select u.a as node, l.label as nb_label,
+             cast(count(*) as bigint) as votes
+      from und u join l0 l on l.node = u.b and l.label is not null
+      group by 1, 2
+    ), a1 as materialized (
+      select node, nb_label from (
+        select node, nb_label, row_number() over (
+          partition by node order by votes desc, nb_label asc) as rn
+        from v1) where rn = 1
+    ), l1 as materialized (
+      select l.node,
+             coalesce(s.seed_label, a.nb_label, l.label) as label
+      from l0 l left join a1 a using (node)
+                left join sd s using (node)
+    ), v2 as materialized (
+      select u.a as node, l.label as nb_label,
+             cast(count(*) as bigint) as votes
+      from und u join l1 l on l.node = u.b and l.label is not null
+      group by 1, 2
+    ), a2 as materialized (
+      select node, nb_label from (
+        select node, nb_label, row_number() over (
+          partition by node order by votes desc, nb_label asc) as rn
+        from v2) where rn = 1
+    ), l2 as materialized (
+      select l.node,
+             coalesce(s.seed_label, a.nb_label, l.label) as label
+      from l1 l left join a2 a using (node)
+                left join sd s using (node)
+    )
+    select cast(l.node as bigint) as node,
+           cast(coalesce(l.label, -1) as bigint) as label,
+           (s.node is not null) as is_seed
+    from l2 l left join sd s using (node)
 """
 
 ORACLES["mojibake_detect"] = f"""

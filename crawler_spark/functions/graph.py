@@ -404,3 +404,99 @@ def hits_micro(edges: DataFrame, iterations: int = 2) -> DataFrame:
         kept = [raw_a, raw_h]
     out = auth.join(hub, "node").select("node", "hub_micro", "auth_micro")
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation over ``edges (src, dst)`` with
+    clamped integer-labeled ``seeds (node, label)`` — the topic-seed
+    expansion step of a focused crawl: a handful of hosts labeled by
+    topic (e.g. by anchors.focused_priority lexicon hits) spread their
+    labels over the link graph, and the propagated labels feed frontier
+    prioritization exactly like pagerank_micro / hits_micro scores.
+
+    Classic LPA (Zhu & Ghahramani / Raghavan et al.), made
+    engine-deterministic: edges are treated as UNDIRECTED (both
+    directions vote); per synchronous iteration every non-seed node
+    adopts the label with the most labeled neighbors, ties broken by
+    SMALLEST label id; a node with no labeled neighbors keeps its
+    current label (null until a labeled neighbor appears); seed labels
+    never change (clamped — the semi-supervised variant, so the
+    labeling cannot drift off its anchor set).  Integer votes + total
+    tie order = bit-identical across engines and partitionings, so the
+    DuckDB oracle unrolls iterations as CTEs (the pagerank/hits
+    discipline).  Returns ``(node, label, is_seed)`` — label null only
+    for nodes still unreached after ``iterations``.
+
+    Scale shape: per iteration ONE join keyed on node (labels onto the
+    undirected edge list; hot-host skew handled by AQE) + one
+    map-side-combined (node, label) vote count + one argmax aggregate
+    (max_by over a (votes, -label) struct — no window, no global sort)
+    + the seed-clamp left join (seeds are the SMALL side — broadcast).
+    Nothing is ever collected to the driver; label state is node-sized
+    and persisted per iteration, superseded frames released eagerly.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("a"),
+            F.col("dst").cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    sd = (
+        seeds.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("label").cast("long").alias("seed_label"),
+        )
+        .groupBy("node")
+        .agg(F.min("seed_label").alias("seed_label"))  # dedup: min label
+        .persist()
+    )
+    labels = nodes.join(sd, "node", "left").select(
+        "node", F.col("seed_label").alias("label")
+    ).persist()
+    prev = None
+    for _ in range(iterations):
+        votes = (
+            und.join(
+                labels.where(F.col("label").isNotNull())
+                .withColumnRenamed("node", "b")
+                .withColumnRenamed("label", "nb_label"),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), F.col("nb_label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        )
+        adopted = votes.groupBy("node").agg(
+            F.max_by(
+                "nb_label",
+                F.struct(F.col("votes"), (-F.col("nb_label")).alias("nl")),
+            ).alias("adopted")
+        )
+        nxt = (
+            labels.join(adopted, "node", "left")
+            .join(F.broadcast(sd), "node", "left")
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("seed_label"),       # clamp
+                    F.col("adopted"),          # majority neighbor label
+                    F.col("label"),            # keep when unreached
+                ).alias("label"),
+            )
+            .persist()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = labels, nxt
+    return labels.join(F.broadcast(sd), "node", "left").select(
+        "node",
+        "label",
+        F.col("seed_label").isNotNull().alias("is_seed"),
+    )
