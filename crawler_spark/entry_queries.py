@@ -3015,6 +3015,36 @@ def q_label_propagation(spark, sf_dir):
     )
 
 
+def q_trustrank_scores(spark, sf_dir):
+    """Seed-biased trust propagation (graph.trustrank_micro, 3
+    iterations, damping 85%) over the same 97-node two-family graph as
+    host_rank / hits_scores / label_propagation: nodes ≡ 0 (mod 10)
+    are the vetted seed set, so the four link-analysis contract rows
+    share one synthesis and are directly comparable priority signals.
+    The oracle unrolls all three iterations as CTEs with the
+    seed-CASEd teleport — non-seed nodes receive mass only through
+    in-links, the spam-demotion property the kernel exists for."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 97).alias("dst"),
+    )
+    seeds = spark.range(0, 97, 10).select(F.col("id").alias("node"))
+    return graph.trustrank_micro(
+        e1.union(e2), seeds, iterations=3, damping_pct=85
+    ).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("trust_micro").cast("long").alias("trust_micro"),
+        F.col("is_seed").cast("boolean").alias("is_seed"),
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Tokenizer-pipeline phrase mining (textops.pmi_collocations):
     ' strong coffee' is planted on doc_id%7==0 and ' strong winds' on
@@ -3100,7 +3130,6 @@ QUERIES = {
     "priority_topk": q_priority_topk,
     "dedup_anti_join": q_dedup_anti_join,
     "regex_field_extract": q_regex_field_extract,
-    "fingerprint": q_fingerprint,
     # -- NEW mid-r5 (enter the window at birth, per policy): HITS, PMI
     # collocations, BPE encode and label propagation displace
     # rlike_filter, text_quality, body_length_filter, link_explode
@@ -3108,7 +3137,9 @@ QUERIES = {
     "hits_scores": q_hits_scores,
     "pmi_collocations": q_pmi_collocations,
     "label_propagation": q_label_propagation,
+    "trustrank_scores": q_trustrank_scores,
     # ---------------- driver window ends here (50) ------------------
+    "fingerprint": q_fingerprint,
     "link_explode": q_link_explode,
     "body_length_filter": q_body_length_filter,
     "rlike_filter": q_rlike_filter,
@@ -5041,6 +5072,73 @@ ORACLES["pmi_collocations"] = """
     )
     select w1, w2, pair_cnt, cnt1, cnt2, lift_ppm, rank
     from ranked where rank <= 20
+"""
+
+# TrustRank: three iterations unrolled with the seed-CASEd teleport
+# (graph.trustrank_micro) — non-seed nodes get no teleport mass.
+ORACLES["trustrank_scores"] = """
+    with edges as materialized (
+      select distinct src, dst from (
+        select doc_id % 97 as src, (doc_id * 31 + 7) % 97 as dst
+        from documents
+        union all
+        select doc_id % 97, (doc_id * 17 + 3) % 97 from documents
+      )
+    ), nodes as materialized (
+      select src as node from edges union select dst from edges
+    ), deg as materialized (
+      select src, count(*) as deg from edges group by 1
+    ), sd as materialized (
+      select i as node from generate_series(0, 96, 10) as g(i)
+    ), fl as materialized (
+      select n.node, (s.node is not null) as is_seed
+      from nodes n left join sd s using (node)
+    ), r0 as materialized (
+      select node,
+             cast(case when is_seed then 1000000 else 0 end as bigint)
+               as trust
+      from fl
+    ), s1 as materialized (
+      select e.dst as node,
+             sum(cast(floor(r.trust / d.deg) as bigint)) as csum
+      from edges e join r0 r on r.node = e.src
+                   join deg d on d.src = e.src
+      group by 1
+    ), r1 as materialized (
+      select f.node,
+             cast((case when f.is_seed then 150000 else 0 end)
+                  + floor(85 * coalesce(s.csum, 0) / 100) as bigint)
+               as trust
+      from fl f left join s1 s using (node)
+    ), s2 as materialized (
+      select e.dst as node,
+             sum(cast(floor(r.trust / d.deg) as bigint)) as csum
+      from edges e join r1 r on r.node = e.src
+                   join deg d on d.src = e.src
+      group by 1
+    ), r2 as materialized (
+      select f.node,
+             cast((case when f.is_seed then 150000 else 0 end)
+                  + floor(85 * coalesce(s.csum, 0) / 100) as bigint)
+               as trust
+      from fl f left join s2 s using (node)
+    ), s3 as materialized (
+      select e.dst as node,
+             sum(cast(floor(r.trust / d.deg) as bigint)) as csum
+      from edges e join r2 r on r.node = e.src
+                   join deg d on d.src = e.src
+      group by 1
+    ), r3 as materialized (
+      select f.node,
+             cast((case when f.is_seed then 150000 else 0 end)
+                  + floor(85 * coalesce(s.csum, 0) / 100) as bigint)
+               as trust
+      from fl f left join s3 s using (node)
+    )
+    select cast(f.node as bigint) as node,
+           r.trust as trust_micro,
+           f.is_seed
+    from fl f join r3 r using (node)
 """
 
 # Label propagation: both synchronous iterations unrolled — vote

@@ -500,3 +500,86 @@ def label_propagation(
         "label",
         F.col("seed_label").isNotNull().alias("is_seed"),
     )
+
+
+def trustrank_micro(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB'04) —
+    PageRank with the teleport mass restricted to a vetted seed set:
+    trust flows out of hand-verified good hosts through links, so spam
+    farms (unreachable from the seed neighbourhood) score ~0 however
+    densely they interlink, the property plain PageRank lacks and the
+    reason link farms target it.  Completes the crawl-priority family:
+    pagerank (endorsement), hits (hub/authority split),
+    label_propagation (topical spread), trustrank (spam demotion).
+
+    Same integer fixed-point arithmetic as :func:`pagerank_micro` with
+    one change — the teleport term is ``(100-d)% * 1e6`` for seed
+    nodes and 0 for everyone else (the seed-biased personalization
+    vector, unnormalized so seed count never changes per-node scale):
+
+        rank'(n) = (n in seeds ? floor((100-d)*1e6/100) : 0)
+                   + floor(d * sum(floor(rank(src)/deg(src))) / 100)
+
+    Initial rank = 1e6 on seeds, 0 elsewhere.  Returns
+    ``(node, trust_micro, is_seed)`` for every node in the edge set.
+
+    Scale shape: identical to pagerank_micro — per iteration one join
+    keyed on src + one map-side-combined in-edge sum; the seed flag
+    joins by BROADCAST (seed lists are small by definition: they are
+    hand-vetted).  Nothing collected; lineage linear in iterations.
+    """
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    flagged = nodes.join(
+        F.broadcast(sd.withColumn("is_seed", F.lit(True))), "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed")
+    ).persist()
+    teleport = (100 - damping_pct) * BASE_MICRO // 100
+
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(BASE_MICRO))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust_micro"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("trust_micro") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = flagged.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.when(F.col("is_seed"), F.lit(teleport)).otherwise(F.lit(0))
+                + F.floor(
+                    F.lit(damping_pct)
+                    * F.coalesce(F.col("csum"), F.lit(0))
+                    / 100
+                )
+            ).cast("long").alias("trust_micro"),
+        )
+    return ranks.join(flagged, "node").select(
+        "node", "trust_micro", "is_seed"
+    )
