@@ -3045,6 +3045,39 @@ def q_trustrank_scores(spark, sf_dir):
     )
 
 
+def q_opic_scores(spark, sf_dir):
+    """Online page importance (graph.opic_micro, 2 synchronous rounds
+    of Abiteboul et al.'s OPIC cash flow): the fifth and final member
+    of the link-analysis family, and the one that is specifically a
+    *crawler's* frontier-priority measure — importance accrues online
+    as cash flows, no convergence loop needed before scores are
+    usable.  The graph reuses the two-family synthesis of host_rank /
+    hits_scores / trustrank but with src restricted to doc_id%90, so
+    nodes 90..96 appear only as link targets and exercise the
+    dangling→virtual-node redistribution path (vshare is nonzero both
+    rounds).  The oracle unrolls both rounds as CTEs — the dangling
+    cash sum and the uniform vshare as scalar subqueries, the
+    out-degree cash split, the hist accrual — so the hash match
+    verifies the whole online recurrence."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 90).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 90).alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 97).alias("dst"),
+    )
+    return graph.opic_micro(e1.union(e2), iterations=2).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cash_micro").cast("long").alias("cash_micro"),
+        F.col("hist_micro").cast("long").alias("hist_micro"),
+        F.col("importance_micro").cast("long").alias("importance_micro"),
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Tokenizer-pipeline phrase mining (textops.pmi_collocations):
     ' strong coffee' is planted on doc_id%7==0 and ' strong winds' on
@@ -3129,7 +3162,6 @@ QUERIES = {
     "schedule_round": q_schedule_round,
     "priority_topk": q_priority_topk,
     "dedup_anti_join": q_dedup_anti_join,
-    "regex_field_extract": q_regex_field_extract,
     # -- NEW mid-r5 (enter the window at birth, per policy): HITS, PMI
     # collocations, BPE encode and label propagation displace
     # rlike_filter, text_quality, body_length_filter, link_explode
@@ -3138,7 +3170,11 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "label_propagation": q_label_propagation,
     "trustrank_scores": q_trustrank_scores,
+    # -- NEW late-r5 (window at birth): OPIC displaces the r3-green
+    # regex_field_extract fill row to the r6 queue --------------------
+    "opic_scores": q_opic_scores,
     # ---------------- driver window ends here (50) ------------------
+    "regex_field_extract": q_regex_field_extract,
     "fingerprint": q_fingerprint,
     "link_explode": q_link_explode,
     "body_length_filter": q_body_length_filter,
@@ -5197,6 +5233,69 @@ ORACLES["label_propagation"] = """
            cast(coalesce(l.label, -1) as bigint) as label,
            (s.node is not null) as is_seed
     from l2 l left join sd s using (node)
+"""
+
+# OPIC: both synchronous rounds unrolled — per-round dangling cash sum
+# and uniform vshare as scalar subqueries, out-degree cash split, hist
+# accrual (graph.opic_micro; src restricted to doc_id%90 so 90..96 are
+# dangling and the virtual-node path carries nonzero cash both rounds).
+ORACLES["opic_scores"] = """
+    with edges as materialized (
+      select distinct src, dst from (
+        select doc_id % 90 as src, (doc_id * 31 + 7) % 97 as dst
+        from documents
+        union all
+        select doc_id % 90, (doc_id * 17 + 3) % 97 from documents
+      )
+    ), nodes as materialized (
+      select src as node from edges union select dst from edges
+    ), deg as materialized (
+      select src, count(*) as deg from edges group by 1
+    ), nn as materialized (
+      select cast(count(*) as bigint) as n from nodes
+    ), s0 as materialized (
+      select node, cast(1000000 as bigint) as cash, cast(0 as bigint) as hist
+      from nodes
+    ), v1 as materialized (
+      select cast(floor(coalesce(sum(s.cash), 0) / (select n from nn))
+                  as bigint) as vshare
+      from s0 s left join deg d on d.src = s.node
+      where d.src is null
+    ), g1 as materialized (
+      select e.dst as node,
+             sum(cast(floor(s.cash / d.deg) as bigint)) as gsum
+      from edges e join s0 s on s.node = e.src
+                   join deg d on d.src = e.src
+      group by 1
+    ), s1 as materialized (
+      select s.node,
+             cast(coalesce(g.gsum, 0) + (select vshare from v1) as bigint)
+               as cash,
+             cast(s.hist + s.cash as bigint) as hist
+      from s0 s left join g1 g using (node)
+    ), v2 as materialized (
+      select cast(floor(coalesce(sum(s.cash), 0) / (select n from nn))
+                  as bigint) as vshare
+      from s1 s left join deg d on d.src = s.node
+      where d.src is null
+    ), g2 as materialized (
+      select e.dst as node,
+             sum(cast(floor(s.cash / d.deg) as bigint)) as gsum
+      from edges e join s1 s on s.node = e.src
+                   join deg d on d.src = e.src
+      group by 1
+    ), s2 as materialized (
+      select s.node,
+             cast(coalesce(g.gsum, 0) + (select vshare from v2) as bigint)
+               as cash,
+             cast(s.hist + s.cash as bigint) as hist
+      from s1 s left join g2 g using (node)
+    )
+    select cast(node as bigint) as node,
+           cash as cash_micro,
+           hist as hist_micro,
+           cast(cash + hist as bigint) as importance_micro
+    from s2
 """
 
 ORACLES["mojibake_detect"] = f"""

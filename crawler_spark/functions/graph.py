@@ -583,3 +583,108 @@ def trustrank_micro(
     return ranks.join(flagged, "node").select(
         "node", "trust_micro", "is_seed"
     )
+
+
+def opic_micro(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Adaptive OPIC (Abiteboul, Preda & Cobéna, WWW'03 — "Adaptive
+    On-Line Page Importance Computation"), the crawl-frontier
+    prioritization algorithm designed to run *while* crawling: unlike
+    PageRank it needs no convergence loop over the full graph before
+    scores are useful — cash flow accumulates importance online, which
+    is why production crawlers schedule fetches by it.  Completes the
+    link-analysis family (pagerank / hits / label_propagation /
+    trustrank) with the member that is specifically a *crawler's*
+    importance measure; the reference's static rule priorities
+    (rule.go:50) are again the degenerate one-hop case.
+
+    Batch-synchronous variant in integer micro units (1e6 = 1.0 unit
+    of cash per node): every node starts with ``cash = 1e6, hist = 0``;
+    per round each node spends its whole cash —
+
+        give(e)   = floor(cash(src) / odeg(src))   per out-edge
+        vshare    = floor(sum(cash over dangling nodes) / n_nodes)
+        hist'(n)  = hist(n) + cash(n)
+        cash'(n)  = sum(give over in-edges of n) + vshare
+
+    Dangling nodes (no out-links) pay the *virtual node*, which
+    redistributes uniformly next round — the paper's trick to keep
+    total cash constant (up to floor loss) without a dense teleport.
+    Importance estimate = ``hist + cash`` after the last round
+    (proportional to total flow through the node).  Returns
+    ``(node, cash_micro, hist_micro, importance_micro)``.
+
+    The two per-round scalars (n_nodes once, the dangling-cash sum per
+    round) are bounded driver scalars folded back as literals — the
+    kmeans/perceptron/HITS bounded-model-state discipline — so the
+    DuckDB oracle unrolls every round as CTEs and must match
+    hash-for-hash (all arithmetic is integer floor division).
+
+    Scale shape: per round one join keyed on src (AQE handles hot-host
+    out-degree skew) + one map-side-combined in-edge sum + one 1-row
+    aggregate for the dangling sum; node/edge sets are never
+    collected.  Lineage is linear in rounds; the per-round state frame
+    is persisted and the superseded one released eagerly.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.count()  # bounded scalar: one long
+
+    state = nodes.select(
+        "node",
+        F.lit(BASE_MICRO).cast("long").alias("cash_micro"),
+        F.lit(0).cast("long").alias("hist_micro"),
+    )
+    prev = None
+    for _ in range(iterations):
+        st = state.join(
+            deg.withColumnRenamed("src", "node"), "node", "left"
+        ).persist()
+        # bounded scalar: total cash sitting on dangling nodes
+        vsum = (
+            st.where(F.col("deg").isNull()).agg(F.sum("cash_micro")).first()[0]
+            or 0
+        )
+        vshare = vsum // n_nodes
+        gives = (
+            e.join(st.withColumnRenamed("node", "src").select(
+                "src", "cash_micro", "deg"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("cash_micro") / F.col("deg")).alias("g"),
+            )
+            .groupBy("node")
+            .agg(F.sum("g").alias("gsum"))
+        )
+        state = st.join(gives, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("gsum"), F.lit(0)) + F.lit(vshare))
+            .cast("long")
+            .alias("cash_micro"),
+            (F.col("hist_micro") + F.col("cash_micro"))
+            .cast("long")
+            .alias("hist_micro"),
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = st
+    return state.select(
+        "node",
+        "cash_micro",
+        "hist_micro",
+        (F.col("cash_micro") + F.col("hist_micro"))
+        .cast("long")
+        .alias("importance_micro"),
+    )
