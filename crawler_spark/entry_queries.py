@@ -3078,6 +3078,42 @@ def q_opic_scores(spark, sf_dir):
     )
 
 
+def q_edit_dedup(spark, sf_dir):
+    """Edit-distance-1 title near-dup join (dedup.edit_near_pairs —
+    the FastSS/SymSpell deletion-neighborhood equi-join, exact recall
+    at distance 1), completing the dedup family with the edit-metric
+    member (exact / Jaccard / MinHash / SimHash / cosine / containment
+    cover set metrics; this covers typo-class string drift).  Titles
+    are synthesized per doc with four mod-4 variants of a shared group
+    base ('gamma'/'gamme'/'gamm'/'gumme'), so within a group the
+    (0,1),(0,2),(1,2),(1,3) pairs are distance 1 while (0,3),(2,3)
+    are distance 2 — present in the deletion-neighborhood candidate
+    set but filtered by the verify step, the exactness boundary this
+    row pins.  Cross-group single-digit pairs (g=12 vs g=13) are
+    legitimate distance-1 hits too.  The oracle is brute-force
+    Levenshtein over the distinct-title dictionary — candidate
+    generation proved lossless, not just plausible."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    g = F.floor(F.col("doc_id") / 4).cast("long").cast("string")
+    sfx = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("gamma"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("gamme"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("gamm"))
+        .otherwise(F.lit("gumme"))
+    )
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("crawl digest "), g, F.lit(" alpha "), sfx).alias(
+            "title"
+        ),
+    )
+    return dedup.edit_near_pairs(docs, "doc_id", "title").select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Tokenizer-pipeline phrase mining (textops.pmi_collocations):
     ' strong coffee' is planted on doc_id%7==0 and ' strong winds' on
@@ -3161,7 +3197,6 @@ QUERIES = {
     "politeness_rank": q_politeness_rank,
     "schedule_round": q_schedule_round,
     "priority_topk": q_priority_topk,
-    "dedup_anti_join": q_dedup_anti_join,
     # -- NEW mid-r5 (enter the window at birth, per policy): HITS, PMI
     # collocations, BPE encode and label propagation displace
     # rlike_filter, text_quality, body_length_filter, link_explode
@@ -3170,10 +3205,13 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "label_propagation": q_label_propagation,
     "trustrank_scores": q_trustrank_scores,
-    # -- NEW late-r5 (window at birth): OPIC displaces the r3-green
-    # regex_field_extract fill row to the r6 queue --------------------
+    # -- NEW late-r5 (window at birth): OPIC and the edit-distance
+    # near-dup join displace the r3-green regex_field_extract and
+    # dedup_anti_join fill rows to the r6 queue -----------------------
     "opic_scores": q_opic_scores,
+    "edit_dedup": q_edit_dedup,
     # ---------------- driver window ends here (50) ------------------
+    "dedup_anti_join": q_dedup_anti_join,
     "regex_field_extract": q_regex_field_extract,
     "fingerprint": q_fingerprint,
     "link_explode": q_link_explode,
@@ -5296,6 +5334,34 @@ ORACLES["opic_scores"] = """
            hist as hist_micro,
            cast(cash + hist as bigint) as importance_micro
     from s2
+"""
+
+# Edit-distance-1 near-dup: brute-force Levenshtein over the
+# distinct-title dictionary (min-doc representative per title), the
+# lossless ground truth the deletion-neighborhood join must equal.
+ORACLES["edit_dedup"] = """
+    with t as materialized (
+      select doc_id,
+             'crawl digest ' || cast(doc_id // 4 as varchar)
+               || ' alpha '
+               || case doc_id % 4 when 0 then 'gamma'
+                                  when 1 then 'gamme'
+                                  when 2 then 'gamm'
+                                  else 'gumme' end as title
+      from documents
+    ), d as materialized (
+      select substring(lower(trim(title)), 1, 64) as t,
+             min(doc_id) as doc
+      from t
+      where length(trim(title)) > 0
+      group by 1
+    )
+    select cast(a.doc as bigint) as doc_a,
+           cast(b.doc as bigint) as doc_b,
+           cast(levenshtein(a.t, b.t) as bigint) as dist
+    from d a join d b on a.doc < b.doc
+    where abs(length(a.t) - length(b.t)) <= 1
+      and levenshtein(a.t, b.t) <= 1
 """
 
 ORACLES["mojibake_detect"] = f"""

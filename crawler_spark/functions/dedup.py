@@ -1175,3 +1175,88 @@ def dup_substring_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# ------------------------------------------------- edit-distance near-dup
+def edit_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    title_col: str = "title",
+    max_len: int = 64,
+) -> DataFrame:
+    """Edit-distance-1 similarity join over a short-string column
+    (titles, canonical URLs, product names) via the FastSS / SymSpell
+    deletion-neighborhood trick (Bocek et al., "Fast Similarity Search
+    in Large Dictionaries", 2007): two strings are within Levenshtein
+    distance 1 iff their 1-deletion neighborhoods (the string itself
+    plus every single-character deletion) intersect — substitution
+    shares the both-sides deletion, insert/delete shares the shorter
+    string itself.  Candidate generation is therefore an *exact*
+    inverted-index equi-join (no recall loss, unlike LSH), and the
+    final ``F.levenshtein <= 1`` filter only removes the neighborhood
+    false positives (distance-2 pairs that happen to share a variant).
+
+    Operates on DISTINCT normalized strings (SymSpell's dictionary
+    assumption): exact-duplicate titles are collapsed to their min-id
+    representative first, which is what bounds the join — a universal
+    title ("Not Found") contributes ONE dictionary entry however many
+    documents carry it, so no exact-dup group can go quadratic.
+    Compose with ``dedup_exact`` when full-document exact dups should
+    be removed before title comparison.  Strings are truncated to
+    ``max_len`` chars, bounding the per-string key fan-out at
+    ``max_len + 1``.
+
+    Returns ``(doc_a, doc_b, dist)`` with doc_a < doc_b — the min-id
+    representatives of the two distinct titles — and dist in {1}
+    (distance-0 pairs are impossible between distinct strings).
+
+    Scale shape: one groupBy(title) to build the dictionary, one
+    posexplode bounded by max_len+1 keys/string, one equi-join on the
+    variant key, one distinct on candidate pairs, then a scan-side
+    levenshtein verify.  All JVM-side (whole-stage codegen; no Python).
+    Hot variant keys (many distinct titles one deletion apart — e.g.
+    numbered series "page 1".."page 9") grow posting lists linearly and
+    the candidate set quadratically per key; those keys are real
+    near-dup families, not noise, so they are kept — the max_len cap
+    and dictionary distinctness are the blowup bounds.
+    """
+    norm = F.substring(F.lower(F.trim(F.col(title_col))), 1, max_len)
+    dict_df = (
+        df.select(F.col(id_col).cast("long").alias("doc"), norm.alias("t"))
+        .where(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.min("doc").alias("doc"))
+    )
+    # 1-deletion neighborhood: t itself + delete(i) for each position
+    variants = dict_df.select(
+        "doc",
+        "t",
+        F.explode(
+            F.array_union(
+                F.array(F.col("t")),
+                F.expr(
+                    "transform(sequence(1, length(t)), "
+                    "i -> concat(substring(t, 1, i - 1), "
+                    "substring(t, i + 1, length(t))))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cands = (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("ta", "tb").cast("long").alias("dist"),
+    ).where(F.col("dist") <= 1)
