@@ -3114,6 +3114,101 @@ def q_edit_dedup(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Per-host distinct-URL cardinality by HyperLogLog sketch
+    (sketches.hll_distinct, 64 registers) next to the exact
+    countDistinct and the observed relative error — the sublinear
+    operator that answers "how many distinct URLs does this host
+    have?" at 10^10-URL scale with 64 longs per host instead of a
+    full distinct shuffle.  URLs are synthesized with deliberate
+    duplicates (path = doc_id % 137, host = doc_id % 10) so the
+    sketch's duplicate-invariance is load-bearing, not vacuous.  The
+    oracle replays md5 bucketing, the hex-digit leading-zero rank
+    (no float log2 anywhere), register max, densified 2^(25-M) sums
+    and the identically-rounded estimator division."""
+    from .functions import sketches
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = (F.col("doc_id") % 10).cast("long")
+    url = F.concat(
+        F.lit("https://h"),
+        host.cast("string"),
+        F.lit(".example.com/p"),
+        (F.col("doc_id") % 137).cast("long").cast("string"),
+    )
+    docs = d.select(host.alias("host"), url.alias("url"))
+    est = sketches.hll_distinct(docs, ["host"], "url")
+    exact = docs.groupBy("host").agg(
+        F.countDistinct("url").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "host").select(
+        F.col("host").cast("long").alias("host"),
+        "n_exact",
+        F.col("hll_est").cast("long").alias("hll_est"),
+        F.floor(
+            F.abs(F.col("hll_est") - F.col("n_exact"))
+            * F.lit(1000)
+            / F.col("n_exact")
+        )
+        .cast("long")
+        .alias("err_milli"),
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter token frequencies by Count-Min sketch
+    (sketches.count_min_sketch + count_min_estimate, 4x64 counters):
+    the constant-memory answer to "which tokens dominate this crawl
+    slice" — the sketch shuffle carries 256 keys however many token
+    occurrences stream through, vs a term-universe groupBy.  'zeta'
+    is planted x3 on doc_id%3==0 and 'yotta' x1 on doc_id%5==0, so
+    the probe set (the exact top-10 terms) mixes planted heavies with
+    the corpus's natural stopword mass.  The contract pins the
+    sketch's one-sided guarantee — cm_est >= exact for every probe,
+    over_cnt is the collision overshoot — with the oracle replaying
+    md5 bucket slices, the 256-counter build and the min-over-rows
+    estimate."""
+    from pyspark.sql import Window as W
+
+    from .functions import sketches
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    taint = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(" zeta zeta zeta")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" yotta")).otherwise(
+            F.lit("")
+        ),
+    )
+    toks = d.select(
+        F.explode(F.split(F.lower(taint), "[^a-z]+")).alias("term")
+    ).where(F.col("term") != "")
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    probes = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.desc("exact_cnt"), F.asc("term"))
+            ),
+        )
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    sk = sketches.count_min_sketch(toks, "term")
+    return sketches.count_min_estimate(sk, probes).select(
+        "term",
+        "exact_cnt",
+        F.col("cm_est").cast("long").alias("cm_est"),
+        (F.col("cm_est") - F.col("exact_cnt"))
+        .cast("long")
+        .alias("over_cnt"),
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Tokenizer-pipeline phrase mining (textops.pmi_collocations):
     ' strong coffee' is planted on doc_id%7==0 and ' strong winds' on
@@ -3195,8 +3290,6 @@ QUERIES = {
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
     # -- (d) r3-green fill, prior dict order --------------------------
     "politeness_rank": q_politeness_rank,
-    "schedule_round": q_schedule_round,
-    "priority_topk": q_priority_topk,
     # -- NEW mid-r5 (enter the window at birth, per policy): HITS, PMI
     # collocations, BPE encode and label propagation displace
     # rlike_filter, text_quality, body_length_filter, link_explode
@@ -3205,12 +3298,17 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "label_propagation": q_label_propagation,
     "trustrank_scores": q_trustrank_scores,
-    # -- NEW late-r5 (window at birth): OPIC and the edit-distance
-    # near-dup join displace the r3-green regex_field_extract and
-    # dedup_anti_join fill rows to the r6 queue -----------------------
+    # -- NEW late-r5 (window at birth): OPIC, the edit-distance
+    # near-dup join, and the HLL/Count-Min sketch family displace the
+    # r3-green schedule_round, priority_topk, dedup_anti_join and
+    # regex_field_extract fill rows to the r6 queue -------------------
     "opic_scores": q_opic_scores,
     "edit_dedup": q_edit_dedup,
+    "hll_distinct": q_hll_distinct,
+    "heavy_hitters": q_heavy_hitters,
     # ---------------- driver window ends here (50) ------------------
+    "schedule_round": q_schedule_round,
+    "priority_topk": q_priority_topk,
     "dedup_anti_join": q_dedup_anti_join,
     "regex_field_extract": q_regex_field_extract,
     "fingerprint": q_fingerprint,
@@ -5362,6 +5460,103 @@ ORACLES["edit_dedup"] = """
     from d a join d b on a.doc < b.doc
     where abs(length(a.t) - length(b.t)) <= 1
       and levenshtein(a.t, b.t) <= 1
+"""
+
+# HyperLogLog: md5 bucket + hex-digit leading-zero rank, register max,
+# densified 2^(25-M) sum, raw estimator 709*64^2*2^25/(1000*S) via the
+# identically-rounded long->double division (sketches.hll_distinct).
+ORACLES["hll_distinct"] = """
+    with u as materialized (
+      select doc_id % 10 as host,
+             'https://h' || cast(doc_id % 10 as varchar)
+               || '.example.com/p' || cast(doc_id % 137 as varchar) as url
+      from documents
+    ), rk as materialized (
+      select host,
+             cast(cast(concat('0x', substr(md5(url), 1, 2)) as bigint) % 64
+                  as int) as reg,
+             length(regexp_extract(substr(md5(url), 3, 6), '^(0*)', 1))
+               as lz,
+             substr(substr(md5(url), 3, 6) || 'x',
+                    length(regexp_extract(substr(md5(url), 3, 6),
+                                          '^(0*)', 1)) + 1, 1) as d
+      from u
+    ), regs as materialized (
+      select host, reg,
+             max(lz * 4
+                 + case when d = '1' then 3
+                        when d in ('2', '3') then 2
+                        when d in ('4', '5', '6', '7') then 1
+                        else 0 end
+                 + 1) as m
+      from rk group by 1, 2
+    ), hosts as materialized (
+      select distinct host from regs
+    ), dense as materialized (
+      select h.host, g.j as reg, coalesce(r.m, 0) as m
+      from hosts h cross join generate_series(0, 63) as g(j)
+      left join regs r on r.host = h.host and r.reg = g.j
+    ), s as materialized (
+      select host, sum(cast(1 as bigint) << (25 - m)) as s
+      from dense group by 1
+    ), ex as materialized (
+      select host, cast(count(distinct url) as bigint) as n_exact
+      from u group by 1
+    )
+    select cast(s.host as bigint) as host,
+           ex.n_exact,
+           cast(floor(97444218011648 / (1000 * s.s)) as bigint) as hll_est,
+           cast(floor(abs(cast(floor(97444218011648 / (1000 * s.s))
+                               as bigint) - ex.n_exact) * 1000
+                      / ex.n_exact) as bigint) as err_milli
+    from s join ex using (host)
+"""
+
+# Count-Min: 4 md5-hex-slice bucket rows x 64 counters, min-over-rows
+# point estimates for the exact top-10 probe terms
+# (sketches.count_min_sketch / count_min_estimate).
+ORACLES["heavy_hitters"] = r"""
+    with t as materialized (
+      select doc_id,
+             text
+               || case when doc_id % 3 = 0 then ' zeta zeta zeta'
+                       else '' end
+               || case when doc_id % 5 = 0 then ' yotta' else '' end
+               as text
+      from documents
+    ), toks as materialized (
+      select unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x <> '')) as term
+      from t
+    ), ex as materialized (
+      select term, cast(count(*) as bigint) as exact_cnt
+      from toks group by 1
+    ), probes as materialized (
+      select term, exact_cnt from ex
+      order by exact_cnt desc, term asc limit 10
+    ), sk as materialized (
+      select r, b, cast(count(*) as bigint) as cnt from (
+        select g.r as r,
+               cast(cast(concat('0x', substr(md5(term), 2 * g.r + 1, 2))
+                         as bigint) % 64 as int) as b
+        from toks cross join generate_series(0, 3) as g(r)
+      ) group by 1, 2
+    ), est as materialized (
+      select p.term, min(coalesce(sk.cnt, 0)) as cm_est
+      from probes p
+      cross join generate_series(0, 3) as g(r)
+      left join sk
+        on sk.r = g.r
+       and sk.b = cast(cast(concat('0x', substr(md5(p.term),
+                                                2 * g.r + 1, 2))
+                            as bigint) % 64 as int)
+      group by 1
+    )
+    select p.term, p.exact_cnt,
+           cast(e.cm_est as bigint) as cm_est,
+           cast(e.cm_est - p.exact_cnt as bigint) as over_cnt
+    from probes p join est e using (term)
 """
 
 ORACLES["mojibake_detect"] = f"""
