@@ -355,3 +355,97 @@ class Cuckoo:
         hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
         hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
         return hit1 | hit2
+
+
+def bloom_fpr_stats(
+    members: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 2048,
+    k: int = 4,
+) -> DataFrame:
+    """Relational twin of the bloom membership mechanism, built so the
+    whole filter — bit positions, saturation, false-positive rate —
+    is oracle-replayable: positions come from k 3-hex-digit md5 slices
+    (``% m_bits``) instead of the production numpy double-hash family
+    (:class:`Bloom`), the cross-engine md5 trick the sketch family
+    documents.  The *mechanism* pinned here is exactly what the
+    engine's pre-filter relies on: no member can miss (every member
+    sets its own positions — the no-false-negative guarantee that
+    makes bloom safe as a pre-filter in front of the exact anti-join,
+    SURVEY §7 hard part 2), and non-member hits happen at a rate
+    governed by saturation, compared against the analytic
+    ``(bits_set/m)^k`` expectation.
+
+    Returns ONE row: ``(n_members, bits_set, n_probes, n_false_pos,
+    fpr_milli, expected_fpr_milli)`` where probes are assumed disjoint
+    from members (every probe hit is a false positive).
+
+    Scale shape: the bit table is ``distinct pos`` — at most m_bits
+    rows however many members stream in (build is a bounded
+    aggregation, the same property the numpy build gets from fixed
+    bitmaps); probes explode to <= k rows each and join the
+    m_bits-bounded bit table (broadcast).  The production engine keeps
+    the numpy bitmap + mapInPandas probe (seen.Bloom) for constant
+    factors; this twin exists for the correctness contract.
+    """
+    def pos(i: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.col(key_col)), 3 * i + 1, 3), 16, 10
+            ).cast("int")
+            % m_bits
+        )
+
+    karr = F.array_distinct(F.array(*[pos(i) for i in range(k)]))
+    bitpos = (
+        members.select(F.explode(karr).alias("pos")).distinct()
+    )
+    nm = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    bs = bitpos.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+
+    pr = probes.select(
+        F.col(key_col).alias("pkey"),
+        karr.alias("pp"),
+        F.size(karr).alias("np"),
+    )
+    hits = (
+        pr.select("pkey", "np", F.explode("pp").alias("pos"))
+        .join(F.broadcast(bitpos.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("pkey", "np")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nhit"))
+    )
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(
+            F.when(F.col("nhit") == F.col("np"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    m4 = m_bits ** k
+    return (
+        nm.crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_members",
+            "bits_set",
+            "n_probes",
+            "n_false_pos",
+            F.floor(F.col("n_false_pos") * F.lit(1000) / F.col("n_probes"))
+            .cast("long")
+            .alias("fpr_milli"),
+            F.floor(
+                (
+                    F.col("bits_set")
+                    * F.col("bits_set")
+                    * F.col("bits_set")
+                    * F.col("bits_set")
+                    * F.lit(1000)
+                ).cast("long")
+                / F.lit(m4)
+            )
+            .cast("long")
+            .alias("expected_fpr_milli"),
+        )
+    )
