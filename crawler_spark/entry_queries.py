@@ -3209,6 +3209,45 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_bloom_fpr(spark, sf_dir):
+    """Bloom-filter seen-set mechanism pinned end-to-end
+    (seen.bloom_fpr_stats, 2048 bits x 4 md5-slice hashes): the
+    north-star's F4 pre-filter component as a contract row — member
+    builds, bit saturation, non-member false-positive rate, and the
+    analytic (bits_set/m)^k expectation, all integer/md5-exact so the
+    oracle replays the entire filter.  Member keys 'u|doc_id' and
+    disjoint probe keys 'p|doc_id' mean every probe hit is a false
+    positive; at sf0.01 the filter sits near 70% saturation so the
+    observed and expected milli-rates are both large and nontrivially
+    compared.  The production numpy bitmap (seen.Bloom) keeps the
+    engine's constant factors; the equivalence suite pins its
+    pre-filter role, this row pins the mechanism's math."""
+    from . import seen
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    members = d.select(
+        F.concat(F.lit("u|"), F.col("doc_id").cast("string")).alias("key")
+    )
+    probes = d.select(
+        F.concat(F.lit("p|"), F.col("doc_id").cast("string")).alias("key")
+    )
+    return seen.bloom_fpr_stats(members, probes, "key")
+
+
+def q_zipf_profile(spark, sf_dir):
+    """Corpus rank-frequency shape (textops.zipf_ratio_profile):
+    freq(r)/freq(2r) milli-ratios at octave-spaced probe ranks — the
+    Zipf-slope diagnostic in exact integer arithmetic (no float logs;
+    the doubling ratio IS the log-log slope at octave spacing),
+    complementing vocab_growth's Heaps law and repetition_scores'
+    per-document signals with the corpus-level distribution shape.
+    The word-soup corpus plus planted taints gives a nontrivial head;
+    the oracle replays tokenization, the top-64 cut, tie-broken
+    ranking and the ratio join."""
+    d = _docs(spark, sf_dir).select("text")
+    return textops.zipf_ratio_profile(d, "text")
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Tokenizer-pipeline phrase mining (textops.pmi_collocations):
     ' strong coffee' is planted on doc_id%7==0 and ' strong winds' on
@@ -3268,8 +3307,6 @@ QUERIES = {
     "html_extract": q_html_extract,
     # -- (c) bench-watch rows (re-verify + re-bench inside the window)
     "cluster_keep_best": q_cluster_keep_best,
-    "dedup_exact_stream": q_dedup_exact_stream,
-    "cosine_neardup": q_cosine_neardup,
     # -- NEW in r5 (enter the window at birth, per policy) -------------
     "unicode_clean_mixed": q_unicode_clean_mixed,
     "script_detect_mixed": q_script_detect_mixed,
@@ -3299,14 +3336,21 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "trustrank_scores": q_trustrank_scores,
     # -- NEW late-r5 (window at birth): OPIC, the edit-distance
-    # near-dup join, and the HLL/Count-Min sketch family displace the
-    # r3-green schedule_round, priority_topk, dedup_anti_join and
-    # regex_field_extract fill rows to the r6 queue -------------------
+    # near-dup join, the HLL/Count-Min sketch family, the bloom
+    # seen-set FPR twin and the Zipf profile displace the r3-green
+    # schedule_round / priority_topk / dedup_anti_join /
+    # regex_field_extract fill rows plus the re-benched-stable watch
+    # rows cosine_neardup (r4-green) and dedup_exact_stream (r3-green)
+    # to the r6 queue --------------------------------------------------
     "opic_scores": q_opic_scores,
     "edit_dedup": q_edit_dedup,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
+    "bloom_fpr": q_bloom_fpr,
+    "zipf_profile": q_zipf_profile,
     # ---------------- driver window ends here (50) ------------------
+    "dedup_exact_stream": q_dedup_exact_stream,
+    "cosine_neardup": q_cosine_neardup,
     "schedule_round": q_schedule_round,
     "priority_topk": q_priority_topk,
     "dedup_anti_join": q_dedup_anti_join,
@@ -5557,6 +5601,78 @@ ORACLES["heavy_hitters"] = r"""
            cast(e.cm_est as bigint) as cm_est,
            cast(e.cm_est - p.exact_cnt as bigint) as over_cnt
     from probes p join est e using (term)
+"""
+
+# Bloom seen-set twin: k=4 positions from 3-hex md5 slices % 2048,
+# member bit table, per-probe all-positions-set test, observed vs
+# analytic (bits_set/m)^4 milli rates (seen.bloom_fpr_stats).
+ORACLES["bloom_fpr"] = """
+    with mem as materialized (
+      select 'u|' || cast(doc_id as varchar) as key from documents
+    ), pr as materialized (
+      select 'p|' || cast(doc_id as varchar) as key from documents
+    ), bits as materialized (
+      select distinct
+             cast(cast(concat('0x', substr(md5(key), 3 * g.i + 1, 3))
+                       as bigint) % 2048 as int) as pos
+      from mem cross join generate_series(0, 3) as g(i)
+    ), nm as materialized (
+      select cast(count(*) as bigint) as n_members from mem
+    ), bs as materialized (
+      select cast(count(*) as bigint) as bits_set from bits
+    ), ppos as materialized (
+      select key,
+             cast(cast(concat('0x', substr(md5(key), 3 * g.i + 1, 3))
+                       as bigint) % 2048 as int) as pos
+      from pr cross join generate_series(0, 3) as g(i)
+      group by 1, 2
+    ), pstat as materialized (
+      select p.key,
+             count(*) as np,
+             sum(case when b.pos is not null then 1 else 0 end) as nhit
+      from ppos p left join bits b using (pos)
+      group by 1
+    ), agg as materialized (
+      select cast(count(*) as bigint) as n_probes,
+             cast(sum(case when nhit = np then 1 else 0 end) as bigint)
+               as n_false_pos
+      from pstat
+    )
+    select nm.n_members, bs.bits_set, agg.n_probes, agg.n_false_pos,
+           cast(floor(agg.n_false_pos * 1000 / agg.n_probes) as bigint)
+             as fpr_milli,
+           cast(floor(cast(bs.bits_set * bs.bits_set * bs.bits_set
+                           * bs.bits_set * 1000 as bigint)
+                      / 17592186044416) as bigint) as expected_fpr_milli
+    from nm, bs, agg
+"""
+
+# Zipf octave ratios: term counts, top-64 by (cnt desc, term asc),
+# row_number ranks, freq(r)/freq(2r) milli (textops.zipf_ratio_profile).
+ORACLES["zipf_profile"] = r"""
+    with toks as materialized (
+      select unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x <> '')) as term
+      from documents
+    ), c as materialized (
+      select term, cast(count(*) as bigint) as cnt
+      from toks group by 1
+    ), top as materialized (
+      select term, cnt from c order by cnt desc, term asc limit 64
+    ), ranked as materialized (
+      select cast(row_number() over (order by cnt desc, term asc)
+                  as int) as rank,
+             cnt
+      from top
+    )
+    select cast(p.rank as bigint) as r,
+           p.cnt as freq_r,
+           d.cnt as freq_2r,
+           cast(floor(p.cnt * 1000 / d.cnt) as bigint) as ratio_milli
+    from ranked p
+    join ranked d on d.rank = 2 * p.rank
+    where p.rank in (1, 2, 4, 8, 16, 32)
 """
 
 ORACLES["mojibake_detect"] = f"""

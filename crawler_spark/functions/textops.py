@@ -2897,3 +2897,64 @@ def pmi_collocations(
         "lift_ppm",
         F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank"),
     )
+
+
+def zipf_ratio_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    ranks: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+) -> DataFrame:
+    """Rank-frequency shape diagnostic: for each probe rank r, the
+    integer milli-ratio freq(r)/freq(2r) between the r-th and 2r-th
+    most frequent tokens.  Under Zipf's law freq(r) ~ r^-s the ratio
+    is 2^s at every r (2000 milli for the canonical s=1), so a flat
+    ratio column is the natural-language signature while template/spam
+    corpora bend it — the corpus-level complement of the per-document
+    repetition and vocab-growth (Heaps) rows.  No float log anywhere:
+    the doubling-ratio probe IS the log-log slope at octave spacing,
+    in exact integer arithmetic.
+
+    Returns ``(r, freq_r, freq_2r, ratio_milli)`` for every probe rank
+    with 2r inside the vocabulary.
+
+    Scale shape: one map-side-combined term count, then top-(2*max r)
+    by (cnt desc, term asc) — a LIMIT over a distributed sort, i.e.
+    TakeOrderedAndProject, never a full-vocab window: the vocabulary
+    is Zipf-huge at corpus scale and must not be globally ranked for a
+    64-row answer.  The ranked probe frame is tiny and self-joins
+    broadcast.
+    """
+    need = 2 * max(ranks)
+    counts = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias(
+                "term"
+            )
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(need)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+        .alias("rank"),
+        F.col("cnt"),
+    )
+    probes = ranked.where(
+        F.col("rank").isin(list(ranks))
+    ).select(F.col("rank").alias("r"), F.col("cnt").alias("freq_r"))
+    doubles = ranked.select(
+        (F.col("rank") / 2).cast("int").alias("r"),
+        F.col("cnt").alias("freq_2r"),
+        F.col("rank").alias("rank2"),
+    ).where(F.col("rank2") % 2 == 0).drop("rank2")
+    return probes.join(F.broadcast(doubles), "r").select(
+        F.col("r").cast("long").alias("r"),
+        F.col("freq_r").cast("long").alias("freq_r"),
+        F.col("freq_2r").cast("long").alias("freq_2r"),
+        F.floor(F.col("freq_r") * F.lit(1000) / F.col("freq_2r"))
+        .cast("long")
+        .alias("ratio_milli"),
+    )
