@@ -1210,6 +1210,13 @@ def edit_near_pairs(
     representatives of the two distinct titles — and dist in {1}
     (distance-0 pairs are impossible between distinct strings).
 
+    Unicode note: Spark's string ops count UTF-16 code units, so BMP
+    text (accented Latin, CJK, Cyrillic — one unit per char) behaves
+    exactly like the plain-Python model (tested); astral-plane chars
+    (emoji) count as 2 units in both the deletion variants and
+    ``levenshtein``, consistently on both sides of the join, so recall
+    still holds — distances just measure units, not grapheme edits.
+
     Scale shape: one groupBy(title) to build the dictionary, one
     posexplode bounded by max_len+1 keys/string, one equi-join on the
     variant key, one distinct on candidate pairs, then a scan-side

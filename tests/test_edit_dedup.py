@@ -93,3 +93,20 @@ def test_randomized_parity(spark):
         ]
         rows = [(i, t) for i, t in rows if t.strip()]
         assert _pairs(spark, rows) == _py_pairs(rows), f"t={trial}"
+
+
+def test_bmp_unicode_parity(spark):
+    # accented/CJK/Cyrillic (all BMP: one UTF-16 unit per char) match
+    # the plain-Python char model exactly.
+    rows = [
+        (1, "café münchen"),
+        (2, "cafe münchen"),   # é -> e substitution, dist 1
+        (3, "café münchén"),   # second e accented, dist 1 from 1
+        (4, "кафе москва"),
+        (5, "кафе москв"),     # final char deleted, dist 1
+        (6, "東京 新聞"),
+        (7, "東京 新闻"),       # one CJK char substituted, dist 1
+    ]
+    got = _pairs(spark, rows)
+    assert got == _py_pairs(rows)
+    assert {(1, 2, 1), (1, 3, 1), (4, 5, 1), (6, 7, 1)} <= got
