@@ -3248,6 +3248,65 @@ def q_zipf_profile(spark, sf_dir):
     return textops.zipf_ratio_profile(d, "text")
 
 
+def q_seed_hops(spark, sf_dir):
+    """Depth-k reach from the seed set (graph.seed_hops, synchronous
+    BFS, 2 rounds): the frontier's depth-cutoff semantics (F3) as a
+    graph analytic — "what would a depth-2 crawl from these seeds
+    reach".  The single-family sparse graph (src = doc_id%90, dst =
+    (doc_id*31+7)%97, seeds = multiples of 20) leaves genuinely
+    unreached nodes at 2 hops, exercising the -1 sentinel alongside
+    hop-0/1/2 assignment and the min-over-seeds property.  The oracle
+    unrolls both BFS rounds as reached-set CTEs."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e = d.select(
+        (F.col("doc_id") % 90).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    seeds = spark.range(0, 81, 20).select(F.col("id").alias("node"))
+    return graph.seed_hops(e, seeds, max_hops=2).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hops").cast("long").alias("hops"),
+    )
+
+
+def q_cocitation(spark, sf_dir):
+    """Related-host co-citation pairs (graph.cocitation_pairs): hosts
+    linked by the same sources, mined via the source-inverted
+    self-join with the out-degree stop cap — the posting-list
+    discipline the dedup family uses, here bounding a directory
+    page's quadratic pair fan-out.  Three affine dst families per
+    source give every source 3 pairs; a planted hub source (999 ->
+    every node, out-degree ~97 > the 64 cap) must be capped out
+    entirely, making the stop cap load-bearing in the hash.  The
+    oracle replays the cap, the src-keyed pair join and the distinct
+    common-source counts."""
+    from .functions import graph
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    s = d.select((F.col("doc_id") % 97).alias("s")).distinct()
+    fams = [
+        s.select(
+            F.col("s").alias("src"),
+            ((F.col("s") * a + b) % 97).alias("dst"),
+        )
+        for a, b in ((31, 7), (17, 3), (11, 5))
+    ]
+    hub = d.select(
+        F.lit(999).cast("long").alias("src"),
+        (F.col("doc_id") % 97).alias("dst"),
+    )
+    edges = fams[0].union(fams[1]).union(fams[2]).union(hub)
+    return graph.cocitation_pairs(
+        edges, min_count=1, max_out_degree=64
+    ).select(
+        F.col("host_a").cast("long").alias("host_a"),
+        F.col("host_b").cast("long").alias("host_b"),
+        F.col("cocite").cast("long").alias("cocite"),
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Tokenizer-pipeline phrase mining (textops.pmi_collocations):
     ' strong coffee' is planted on doc_id%7==0 and ' strong winds' on
@@ -3305,8 +3364,6 @@ QUERIES = {
     # -- (b) newest driver green is r2 --------------------------------
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
-    # -- (c) bench-watch rows (re-verify + re-bench inside the window)
-    "cluster_keep_best": q_cluster_keep_best,
     # -- NEW in r5 (enter the window at birth, per policy) -------------
     "unicode_clean_mixed": q_unicode_clean_mixed,
     "script_detect_mixed": q_script_detect_mixed,
@@ -3325,8 +3382,6 @@ QUERIES = {
     # similarity kernels both these rows ride ------------------------
     "knn_join_lsh": q_knn_join_lsh,
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
-    # -- (d) r3-green fill, prior dict order --------------------------
-    "politeness_rank": q_politeness_rank,
     # -- NEW mid-r5 (enter the window at birth, per policy): HITS, PMI
     # collocations, BPE encode and label propagation displace
     # rlike_filter, text_quality, body_length_filter, link_explode
@@ -3348,7 +3403,11 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_fpr": q_bloom_fpr,
     "zipf_profile": q_zipf_profile,
+    "seed_hops": q_seed_hops,
+    "cocitation": q_cocitation,
     # ---------------- driver window ends here (50) ------------------
+    "cluster_keep_best": q_cluster_keep_best,
+    "politeness_rank": q_politeness_rank,
     "dedup_exact_stream": q_dedup_exact_stream,
     "cosine_neardup": q_cosine_neardup,
     "schedule_round": q_schedule_round,
@@ -5673,6 +5732,72 @@ ORACLES["zipf_profile"] = r"""
     from ranked p
     join ranked d on d.rank = 2 * p.rank
     where p.rank in (1, 2, 4, 8, 16, 32)
+"""
+
+# BFS seed hops: both rounds unrolled as reached-set CTEs
+# (graph.seed_hops; -1 sentinel for unreached-within-budget).
+ORACLES["seed_hops"] = """
+    with edges as materialized (
+      select distinct doc_id % 90 as src, (doc_id * 31 + 7) % 97 as dst
+      from documents
+    ), nodes as materialized (
+      select src as node from edges union select dst from edges
+    ), sd as materialized (
+      select i as node from generate_series(0, 80, 20) as g(i)
+    ), h0 as materialized (
+      select n.node,
+             case when s.node is not null then 0 end as hops
+      from nodes n left join sd s using (node)
+    ), r1 as materialized (
+      select distinct e.dst as node
+      from edges e join h0 h on h.node = e.src and h.hops = 0
+    ), h1 as materialized (
+      select h.node,
+             coalesce(h.hops,
+                      case when r.node is not null then 1 end) as hops
+      from h0 h left join r1 r using (node)
+    ), r2 as materialized (
+      select distinct e.dst as node
+      from edges e join h1 h on h.node = e.src and h.hops = 1
+    ), h2 as materialized (
+      select h.node,
+             coalesce(h.hops,
+                      case when r.node is not null then 2 end) as hops
+      from h1 h left join r2 r using (node)
+    )
+    select cast(node as bigint) as node,
+           cast(coalesce(hops, -1) as bigint) as hops
+    from h2
+"""
+
+# Co-citation: out-degree cap first (the hub source 999 must vanish),
+# then src-keyed pair self-join + common-source counts
+# (graph.cocitation_pairs).
+ORACLES["cocitation"] = """
+    with s as materialized (
+      select distinct doc_id % 97 as s from documents
+    ), edges as materialized (
+      select distinct src, dst from (
+        select s as src, (s * 31 + 7) % 97 as dst from s
+        union all
+        select s, (s * 17 + 3) % 97 from s
+        union all
+        select s, (s * 11 + 5) % 97 from s
+        union all
+        select 999, doc_id % 97 from documents
+      )
+    ), od as materialized (
+      select src, count(*) as od from edges group by 1
+    ), kept as materialized (
+      select e.src, e.dst from edges e join od using (src)
+      where od.od <= 64
+    )
+    select cast(a.dst as bigint) as host_a,
+           cast(b.dst as bigint) as host_b,
+           cast(count(*) as bigint) as cocite
+    from kept a join kept b on a.src = b.src and a.dst < b.dst
+    group by 1, 2
+    having count(*) >= 1
 """
 
 ORACLES["mojibake_detect"] = f"""

@@ -688,3 +688,92 @@ def opic_micro(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .cast("long")
         .alias("importance_micro"),
     )
+
+
+def seed_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Minimum-hop distance from a seed set by synchronous BFS —
+    the graph analytic behind the crawler's depth-cutoff semantics
+    (SURVEY F3: the reference's Depth field is exactly "hops from the
+    task seed", schedule.go depth propagation): given a link graph it
+    answers "what does a depth-k crawl from these seeds reach", which
+    the frontier only knows implicitly, per-URL, at fetch time.
+
+    Returns ``(node, hops)`` for every node in the edge set: 0 for
+    seeds, k for first reachability at round k <= max_hops, -1 for
+    nodes unreached within the budget (a long sentinel — nullable
+    ints hash as float driver-side).
+
+    Each round is one src-keyed join of the just-reached frontier
+    onto edges + one distinct + one left join back onto state —
+    the LPA/trustrank per-iteration shape; the seed frame joins
+    BROADCAST (seed lists are small by definition).  Lineage linear
+    in rounds; nothing collected.
+    """
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    state = nodes.join(
+        F.broadcast(sd.withColumn("h", F.lit(0))), "node", "left"
+    ).select("node", F.col("h").cast("long").alias("hops"))
+    for k in range(1, max_hops + 1):
+        frontier = state.where(F.col("hops") == k - 1).select("node")
+        reached = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("r", F.lit(1))
+        )
+        state = state.join(reached, "node", "left").select(
+            "node",
+            F.coalesce(
+                F.col("hops"),
+                F.when(F.col("r") == 1, F.lit(k)).cast("long"),
+            ).alias("hops"),
+        )
+    return state.select(
+        "node", F.coalesce(F.col("hops"), F.lit(-1)).cast("long").alias("hops")
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame, min_count: int = 2, max_out_degree: int = 64
+) -> DataFrame:
+    """Co-citation related-host mining (Small, JASIS'73; the classic
+    "related pages" signal): two targets are related when many
+    distinct sources link to BOTH.  The inverted-index self-join on
+    the source key only pairs targets sharing a source — never
+    all-pairs — and sources with out-degree > ``max_out_degree`` are
+    dropped first (a directory page linking 10k hosts asserts nothing
+    pairwise; the same stop-key cap as the shingle/posting-list
+    dedup family, bounding the per-source pair fan-out at
+    max_out_degree^2).  Returns ``(host_a, host_b, cocite)`` with
+    host_a < host_b and cocite = distinct common sources >=
+    ``min_count``.
+    """
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct()
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    kept = e.join(
+        od.where(F.col("od") <= max_out_degree).select("src"), "src"
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(b, (F.col("a.src") == F.col("b.src"))
+               & (F.col("a.dst") < F.col("b.dst")))
+        .groupBy(
+            F.col("a.dst").alias("host_a"), F.col("b.dst").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cocite"))
+        .where(F.col("cocite") >= min_count)
+    )
