@@ -3307,6 +3307,49 @@ def q_cocitation(spark, sf_dir):
     )
 
 
+def q_hll_merge(spark, sf_dir):
+    """HLL mergeability pinned as a contract row (sketches.
+    hll_registers / hll_estimate): per-host register tables built
+    independently on the doc_id%2 shards, max-merged, and estimated —
+    against the whole-corpus direct estimate.  Register-wise MAX of
+    shard sketches equalling the whole-input sketch is THE property
+    that lets 1000 executors sketch independently and combine without
+    ever co-locating the raw keys; ``merge_exact`` must be true for
+    every host and the estimates must be byte-equal, which the hash
+    pins.  The oracle computes BOTH paths independently (shard
+    registers -> max-merge -> estimate, and direct registers ->
+    estimate) so the equality is verified, not assumed."""
+    from .functions import sketches
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = (F.col("doc_id") % 10).cast("long")
+    url = F.concat(
+        F.lit("https://h"),
+        host.cast("string"),
+        F.lit(".example.com/p"),
+        (F.col("doc_id") % 137).cast("long").cast("string"),
+    )
+    docs = d.select(
+        host.alias("host"),
+        (F.col("doc_id") % 2).cast("int").alias("shard"),
+        url.alias("url"),
+    )
+    direct = sketches.hll_distinct(
+        docs.select("host", "url"), ["host"], "url"
+    ).withColumnRenamed("hll_est", "est_direct")
+    sharded = sketches.hll_registers(docs, ["host", "shard"], "url")
+    merged = sketches.hll_estimate(
+        sharded.groupBy("host", "reg").agg(F.max("m").alias("m")),
+        ["host"],
+    ).withColumnRenamed("hll_est", "est_merged")
+    return direct.join(merged, "host").select(
+        F.col("host").cast("long").alias("host"),
+        F.col("est_direct").cast("long").alias("est_direct"),
+        F.col("est_merged").cast("long").alias("est_merged"),
+        (F.col("est_direct") == F.col("est_merged")).alias("merge_exact"),
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Tokenizer-pipeline phrase mining (textops.pmi_collocations):
     ' strong coffee' is planted on doc_id%7==0 and ' strong winds' on
@@ -3361,9 +3404,10 @@ QUERIES = {
     "bitext_pairs": q_bitext_pairs,
     "refetch_schedule": q_refetch_schedule,
     "focused_priority": q_focused_priority,
-    # -- (b) newest driver green is r2 --------------------------------
+    # -- (b) newest driver green is r2 (html_extract displaced at the
+    # last birth: its html_to_text kernel gets a fresh driver green
+    # through the in-window html_extract_mixed row) -------------------
     "stratified_sample": q_stratified_sample,
-    "html_extract": q_html_extract,
     # -- NEW in r5 (enter the window at birth, per policy) -------------
     "unicode_clean_mixed": q_unicode_clean_mixed,
     "script_detect_mixed": q_script_detect_mixed,
@@ -3405,7 +3449,9 @@ QUERIES = {
     "zipf_profile": q_zipf_profile,
     "seed_hops": q_seed_hops,
     "cocitation": q_cocitation,
+    "hll_merge": q_hll_merge,
     # ---------------- driver window ends here (50) ------------------
+    "html_extract": q_html_extract,
     "cluster_keep_best": q_cluster_keep_best,
     "politeness_rank": q_politeness_rank,
     "dedup_exact_stream": q_dedup_exact_stream,
@@ -5798,6 +5844,70 @@ ORACLES["cocitation"] = """
     from kept a join kept b on a.src = b.src and a.dst < b.dst
     group by 1, 2
     having count(*) >= 1
+"""
+
+# HLL mergeability: shard registers max-merged vs direct registers,
+# both estimated independently (sketches.hll_registers/hll_estimate).
+ORACLES["hll_merge"] = """
+    with u as materialized (
+      select doc_id % 10 as host,
+             cast(doc_id % 2 as int) as shard,
+             'https://h' || cast(doc_id % 10 as varchar)
+               || '.example.com/p' || cast(doc_id % 137 as varchar) as url
+      from documents
+    ), rk as materialized (
+      select host, shard,
+             cast(cast(concat('0x', substr(md5(url), 1, 2)) as bigint) % 64
+                  as int) as reg,
+             length(regexp_extract(substr(md5(url), 3, 6), '^(0*)', 1)) * 4
+               + case when substr(substr(md5(url), 3, 6) || 'x',
+                        length(regexp_extract(substr(md5(url), 3, 6),
+                                              '^(0*)', 1)) + 1, 1)
+                        = '1' then 3
+                      when substr(substr(md5(url), 3, 6) || 'x',
+                        length(regexp_extract(substr(md5(url), 3, 6),
+                                              '^(0*)', 1)) + 1, 1)
+                        in ('2', '3') then 2
+                      when substr(substr(md5(url), 3, 6) || 'x',
+                        length(regexp_extract(substr(md5(url), 3, 6),
+                                              '^(0*)', 1)) + 1, 1)
+                        in ('4', '5', '6', '7') then 1
+                      else 0 end
+               + 1 as rank
+      from u
+    ), shard_regs as materialized (
+      select host, shard, reg, max(rank) as m
+      from rk group by 1, 2, 3
+    ), merged_regs as materialized (
+      select host, reg, max(m) as m from shard_regs group by 1, 2
+    ), direct_regs as materialized (
+      select host, reg, max(rank) as m from rk group by 1, 2
+    ), hosts as materialized (
+      select distinct host from u
+    ), dm as materialized (
+      select h.host, g.j as reg, coalesce(r.m, 0) as m
+      from hosts h cross join generate_series(0, 63) as g(j)
+      left join merged_regs r on r.host = h.host and r.reg = g.j
+    ), dd as materialized (
+      select h.host, g.j as reg, coalesce(r.m, 0) as m
+      from hosts h cross join generate_series(0, 63) as g(j)
+      left join direct_regs r on r.host = h.host and r.reg = g.j
+    ), sm as materialized (
+      select host, sum(cast(1 as bigint) << (25 - m)) as s
+      from dm group by 1
+    ), sd as materialized (
+      select host, sum(cast(1 as bigint) << (25 - m)) as s
+      from dd group by 1
+    )
+    select cast(sd.host as bigint) as host,
+           cast(floor(97444218011648 / (1000 * sd.s)) as bigint)
+             as est_direct,
+           cast(floor(97444218011648 / (1000 * sm.s)) as bigint)
+             as est_merged,
+           (cast(floor(97444218011648 / (1000 * sd.s)) as bigint)
+            = cast(floor(97444218011648 / (1000 * sm.s)) as bigint))
+             as merge_exact
+    from sd join sm using (host)
 """
 
 ORACLES["mojibake_detect"] = f"""

@@ -59,24 +59,34 @@ def _hll_rank(word_hex: F.Column) -> F.Column:
     return (lz * 4 + extra + 1).cast("int")
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame, key_cols: list[str], value_col: str
 ) -> DataFrame:
-    """Raw-HLL distinct-count estimate of ``value_col`` per key group.
-    Returns ``key_cols + (hll_est: long)``.  64 registers (~6.5%
-    expected standard error); integer-exact, oracle-replayable.
+    """Sparse register table ``key_cols + (reg, m)`` — max rank per
+    (key, register).  This IS the sketch state: at most HLL_M rows per
+    key, and register tables from disjoint (or overlapping) shards
+    merge by register-wise MAX into exactly the table the whole input
+    would produce — the mergeability that lets 1000 executors sketch
+    independently and combine (pinned by the hll_merge contract row).
     """
     h = F.md5(F.col(value_col).cast("string"))
     reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % HLL_M).alias(
         "reg"
     )
     rank = _hll_rank(F.substring(h, 3, HLL_WORD_BITS // 4)).alias("rank")
-
-    regs = (
+    return (
         df.select(*key_cols, reg, rank)
         .groupBy(*key_cols, "reg")
         .agg(F.max("rank").alias("m"))
     )
+
+
+def hll_estimate(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Raw-HLL estimate from a (possibly merged) register table:
+    densify empty registers to rank 0, S = sum 2^(maxrank - M_j),
+    E = alpha*m^2*2^maxrank / S via the identically-rounded
+    long->double division + floor.  Returns ``key_cols + (hll_est)``.
+    """
     keys = regs.select(*key_cols).distinct()
     dense = keys.select(
         *key_cols,
@@ -84,8 +94,6 @@ def hll_distinct(
     ).join(regs, [*key_cols, "reg"], "left").select(
         *key_cols, F.coalesce(F.col("m"), F.lit(0)).alias("m")
     )
-    # S = sum 2^(maxrank - M_j); E = alpha*m^2*2^maxrank / S, done as
-    # the identically-rounded long->double division + floor.
     maxrank = HLL_WORD_BITS + 1
     numer = HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << maxrank)
     s = dense.groupBy(*key_cols).agg(
@@ -99,6 +107,17 @@ def hll_distinct(
         .cast("long")
         .alias("hll_est"),
     )
+
+
+def hll_distinct(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """Raw-HLL distinct-count estimate of ``value_col`` per key group.
+    Returns ``key_cols + (hll_est: long)``.  64 registers (~6.5%
+    expected standard error); integer-exact, oracle-replayable.
+    Composition of :func:`hll_registers` + :func:`hll_estimate`.
+    """
+    return hll_estimate(hll_registers(df, key_cols, value_col), key_cols)
 
 
 # --------------------------------------------------------------- count-min

@@ -71,3 +71,24 @@ def test_randomized_parity(spark):
         assert _spark_hll(spark, [(0, v) for v in vals])[0] == _py_hll(
             vals
         ), f"t={trial}"
+
+
+def test_register_merge_equals_direct(spark):
+    # THE sketch property: register tables built on arbitrary shards
+    # (here: overlapping ones) max-merge into exactly the whole-input
+    # sketch — same registers, same estimate.
+    from pyspark.sql import functions as F
+
+    vals = [f"u{i}" for i in range(500)]
+    rows = [(0, i % 3, v) for i, v in enumerate(vals)]
+    # overlap: shard 9 repeats the first 100 values
+    rows += [(0, 9, v) for v in vals[:100]]
+    df = spark.createDataFrame(rows, "k long, shard int, v string")
+
+    direct = sketches.hll_distinct(df.select("k", "v"), ["k"], "v")
+    sharded = sketches.hll_registers(df, ["k", "shard"], "v")
+    merged = sketches.hll_estimate(
+        sharded.groupBy("k", "reg").agg(F.max("m").alias("m")), ["k"]
+    )
+    assert direct.collect()[0]["hll_est"] == merged.collect()[0]["hll_est"]
+    assert direct.collect()[0]["hll_est"] == _py_hll(vals)
